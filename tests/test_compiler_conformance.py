@@ -1,0 +1,98 @@
+"""Byte-exact conformance of the compiler against the reference fixtures.
+
+The reference's committed lookup text tables (test_regexes/*.txt) are the
+golden targets (SURVEY §7 "fixtures are golden"): the compiled allstr and
+substr tables must match byte-for-byte, including state numbering, line
+ordering and trailing-space formatting.
+"""
+
+import pytest
+
+from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+from halo2_regex_tpu.compiler.pipeline import compile_allstr_text, dfa_to_regex_def_text
+
+from fixtures import (
+    CONFIGS,
+    EXAMPLE_CONFIG,
+    EXPECTED_SHA256,
+    reference_file,
+    sha256_text,
+)
+
+
+@pytest.mark.parametrize("name", ["regex1", "regex2", "regex3"])
+def test_allstr_byte_exact(name):
+    cfg = DecomposedRegexConfig.from_json(CONFIGS[name])
+    text = compile_allstr_text(cfg.all_regex())
+    assert sha256_text(text) == EXPECTED_SHA256[f"{name}_allstr"]
+    ref = reference_file(f"test_regexes/{name}_test_lookup.txt")
+    if ref is not None:
+        assert text == ref
+
+
+@pytest.mark.parametrize("name", ["regex1", "regex2", "regex3"])
+def test_substr_byte_exact(name):
+    cfg = DecomposedRegexConfig.from_json(CONFIGS[name])
+    texts = cfg.substr_texts()
+    assert len(texts) == 1
+    num = name[-1]
+    assert sha256_text(texts[0]) == EXPECTED_SHA256[f"substr{num}"]
+    ref = reference_file(f"test_regexes/substr{num}_test_lookup.txt")
+    if ref is not None:
+        assert texts[0] == ref
+
+
+def test_example_allstr_byte_exact():
+    cfg = DecomposedRegexConfig.from_json(EXAMPLE_CONFIG)
+    text = dfa_to_regex_def_text(cfg.compile_dfa())
+    assert sha256_text(text) == EXPECTED_SHA256["ex_allstr"]
+    ref = reference_file("examples/ex_allstr.txt")
+    if ref is not None:
+        assert text == ref
+
+
+def test_example_substr_set_equal():
+    """The committed ex_substr_id1.txt predates the reference's (cur, next)
+    transition sort (vrm/mod.rs:292-300): it lists `23 1` before `1 1`. The
+    current reference code would regenerate it sorted, which is what we
+    produce — so compare as sets plus exact headers."""
+    cfg = DecomposedRegexConfig.from_json(EXAMPLE_CONFIG)
+    texts = cfg.substr_texts()
+    assert len(texts) == 1
+    mine = texts[0].splitlines()
+    assert mine[:5] == ["7", "0", "127", "23 ", "1 "]
+    assert sorted(mine[5:]) == sorted(["1 1", "23 1"])
+    ref = reference_file("examples/ex_substr_id1.txt")
+    if ref is not None:
+        ref_lines = ref.splitlines()
+        assert mine[:5] == ref_lines[:5]
+        assert sorted(mine[5:]) == sorted(ref_lines[5:])
+
+
+def test_gen_regex_files_roundtrip(tmp_path):
+    """gen_regex_files writes the same bytes as the in-memory variants."""
+    cfg = DecomposedRegexConfig.from_json(CONFIGS["regex1"])
+    allstr = tmp_path / "allstr.txt"
+    substr = tmp_path / "substr0.txt"
+    cfg.gen_regex_files(allstr, [substr])
+    assert sha256_text(allstr.read_text()) == EXPECTED_SHA256["regex1_allstr"]
+    assert sha256_text(substr.read_text()) == EXPECTED_SHA256["substr1"]
+
+
+def test_parser_quirks():
+    """SURVEY §8.1: `.` is a literal; escapes outside {n,r,t,v,f} are the
+    raw char; the fixture catch-all has no transitions on bytes 11/12."""
+    from halo2_regex_tpu.compiler.parser import parse_regex
+
+    ast = parse_regex(".")
+    assert ast.type == "text" and ast.text == "."
+    ast = parse_regex("\\x")
+    assert ast.type == "text" and ast.text == "x"
+    ast = parse_regex("\\n")
+    assert ast.type == "text" and ast.text == "\n"
+
+    cfg = DecomposedRegexConfig.from_json(CONFIGS["regex1"])
+    text = compile_allstr_text(cfg.all_regex())
+    bytes_seen = {int(line.split()[2]) for line in text.splitlines()[3:]}
+    assert 11 not in bytes_seen and 12 not in bytes_seen
+    assert bytes_seen == set(range(32, 127)) | {9, 10, 13}

@@ -1,0 +1,186 @@
+"""Command-line interface — the `vrm` CLI equivalent plus device commands.
+
+Reference parity (src/bin/vrm.rs:21-88):
+  gen-halo2-texts  decomposed JSON -> allstr.txt + substr{i}.txt tables
+  gen-circom       decomposed JSON -> circom template
+
+TPU-native additions:
+  compile          decomposed JSON(s) -> dense .npz model artifact
+  match            run the batched scan over input strings and print
+                   extracted substrings / acceptance
+  bench            quick throughput measurement on the current backend
+
+Usage: python -m halo2_regex_tpu.cli <command> [args]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _cmd_gen_halo2_texts(args) -> int:
+    from .compiler.decomposed import DecomposedRegexConfig
+
+    cfg = DecomposedRegexConfig.from_json_file(args.decomposed_regex_path)
+    n_public = sum(1 for p in cfg.parts if p.is_public)
+    substr_dir = Path(args.substrs_dir_path)
+    substr_dir.mkdir(parents=True, exist_ok=True)
+    substr_paths = [substr_dir / f"substr{i}.txt" for i in range(n_public)]
+    cfg.gen_regex_files(args.allstr_file_path, substr_paths)
+    print(f"wrote {args.allstr_file_path} and {n_public} substr file(s) in {substr_dir}")
+    return 0
+
+
+def _cmd_gen_circom(args) -> int:
+    from .compiler.circom import gen_circom
+    from .compiler.decomposed import DecomposedRegexConfig
+
+    cfg = DecomposedRegexConfig.from_json_file(args.decomposed_regex_path)
+    gen_circom(cfg, args.circom_file_path, args.template_name)
+    print(f"wrote {args.circom_file_path}")
+    return 0
+
+
+def _cmd_compile(args) -> int:
+    from .compiler.decomposed import DecomposedRegexConfig
+    from .models.compiled import CompiledRegexModel
+
+    cfgs = [DecomposedRegexConfig.from_json_file(p) for p in args.decomposed_regex_paths]
+    model = CompiledRegexModel.from_decomposed(
+        cfgs, max_chars_size=args.max_chars_size
+    )
+    model.save(args.output)
+    print(
+        f"compiled {len(cfgs)} def(s): s_pad={model.s_pad}, "
+        f"{model.total_substrs} substr(s), max_chars={model.max_chars_size} "
+        f"-> {args.output}"
+    )
+    return 0
+
+
+def _cmd_match(args) -> int:
+    from .models.compiled import CompiledRegexModel
+    from .ops.reference import extract_substrings
+    from .ops.scan_jax import BatchMatcher, pack_batch
+
+    model = CompiledRegexModel.load(args.model)
+    if args.input_file:
+        data = Path(args.input_file).read_bytes()
+        strings = data.splitlines() if args.lines else [data]
+    else:
+        strings = [s.encode() for s in args.strings]
+    if not strings:
+        print("no input strings", file=sys.stderr)
+        return 2
+    matcher = BatchMatcher(model)
+    import numpy as np
+
+    chars, lengths = pack_batch(strings, model.max_chars_size)
+    res = matcher(chars, lengths)
+    ok = np.asarray(res.match_ok)
+    n_bad = 0
+    for i, s in enumerate(strings):
+        row = res.map(lambda a: np.asarray(a)[i])
+        subs = extract_substrings(row)
+        status = "MATCH" if ok[i] else "NO-MATCH"
+        if not ok[i]:
+            n_bad += 1
+        print(json.dumps({
+            "input": s.decode("latin-1"),
+            "status": status,
+            "substrings": [
+                {"offset": o, "text": t, "substr_id": sid} for o, t, sid in subs
+            ],
+        }))
+    return 1 if (args.strict and n_bad) else 0
+
+
+def _cmd_bench(args) -> int:
+    import time
+
+    import numpy as np
+
+    from .models.compiled import CompiledRegexModel
+    from .ops.scan_jax import BatchMatcher
+
+    model = CompiledRegexModel.load(args.model)
+    rng = np.random.default_rng(0)
+    B, L = args.batch, model.max_chars_size
+    chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
+    lengths = np.full((B,), L, np.int32)
+    matcher = BatchMatcher(model)
+    import jax
+
+    out = matcher(chars, lengths)
+    jax.block_until_ready(out.mask)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = matcher(chars, lengths)
+    jax.block_until_ready(out.mask)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(
+        json.dumps(
+            {
+                "backend": jax.devices()[0].platform,
+                "batch": B,
+                "max_chars": L,
+                "sec_per_batch": dt,
+                "bytes_per_sec": B * L / dt,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="halo2_regex_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("gen-halo2-texts", help="decomposed JSON -> text tables")
+    p.add_argument("--decomposed-regex-path", required=True)
+    p.add_argument("--allstr-file-path", required=True)
+    p.add_argument("--substrs-dir-path", required=True)
+    p.set_defaults(fn=_cmd_gen_halo2_texts)
+
+    p = sub.add_parser("gen-circom", help="decomposed JSON -> circom template")
+    p.add_argument("--decomposed-regex-path", required=True)
+    p.add_argument("--circom-file-path", required=True)
+    p.add_argument("--template-name", required=True)
+    p.set_defaults(fn=_cmd_gen_circom)
+
+    p = sub.add_parser("compile", help="decomposed JSON(s) -> .npz model artifact")
+    p.add_argument("decomposed_regex_paths", nargs="+")
+    p.add_argument("--max-chars-size", type=int, default=1024)
+    p.add_argument("--output", "-o", required=True)
+    p.set_defaults(fn=_cmd_compile)
+
+    p = sub.add_parser("match", help="run the batched matcher on inputs")
+    p.add_argument("--model", required=True)
+    p.add_argument("--input-file")
+    p.add_argument("--lines", action="store_true", help="treat input file as one string per line")
+    p.add_argument("--strict", action="store_true", help="exit 1 if any input fails")
+    p.add_argument("strings", nargs="*")
+    p.set_defaults(fn=_cmd_match)
+
+    p = sub.add_parser("bench", help="throughput measurement")
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=10)
+    p.set_defaults(fn=_cmd_bench)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except (ValueError, KeyError, FileNotFoundError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,219 @@
+"""Benchmark suite — the five BASELINE.json configs as runnable benchmarks.
+
+    python benchmarks/run_benchmarks.py [--configs 0 1 2 ...] [--quick]
+
+Config 0: regex1 single-def match, CPU-friendly (interpret/jit) — byte-exact
+          state sequence check.
+Config 1: regex1-3 + substr1-3 combined extraction over padded 1KB strings.
+Config 2: email-header corpus, batch=4096x1KB, fused scan on one chip.
+Config 3: large-DFA stress: 1K-state table, 64KB inputs.
+Config 4: multi-device scaling: data-parallel corpus shards, psum-reduced
+          counts, efficiency vs single device (virtual CPU mesh or real
+          multi-chip when available).
+
+Each benchmark prints one JSON line with bytes/sec and witness rows/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if os.path.isdir("/root/.axon_site") and "/root/.axon_site" not in sys.path:
+    sys.path.append("/root/.axon_site")
+sys.setrecursionlimit(100_000)
+
+import numpy as np
+
+
+def _report(name, **kw):
+    print(json.dumps({"benchmark": name, **kw}), flush=True)
+
+
+def _best_matcher(model):
+    """Fused Pallas kernel on TPU; XLA scan elsewhere."""
+    import jax
+
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+
+    if jax.devices()[0].platform == "tpu":
+        try:
+            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
+
+            return PallasMatcher(model), "pallas"
+        except Exception:
+            pass
+    return BatchMatcher(model), "xla"
+
+
+def _throughput(matcher, chars, lengths, iters):
+    import jax
+
+    out = matcher(chars, lengths)
+    jax.block_until_ready(out.mask)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = matcher(chars, lengths)
+    jax.block_until_ready(out.mask)
+    dt = (time.perf_counter() - t0) / iters
+    return dt
+
+
+def bench0(quick):
+    """regex1 over an example input: byte-exact state sequence."""
+    from fixtures_bench import regex1_model
+
+    from halo2_regex_tpu.ops import reference as ref_ops
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher, pack_batch
+
+    model = regex1_model(max_chars_size=128)
+    matcher = BatchMatcher(model)
+    s = b"email was meant for @vitalik. Also for pooja."
+    res = matcher.match_one(s)
+    oracle = ref_ops.match_substrs(model.regex_defs, s, 128)
+    exact = bool(
+        (np.asarray(res.states) == oracle.states).all()
+        and (np.asarray(res.all_substr_ids) == oracle.all_substr_ids).all()
+    )
+    _report("config0_regex1_exactness", byte_exact=exact, match_ok=bool(res.match_ok))
+
+
+def bench1(quick):
+    """Three defs at once (regex1+2+3), 1KB padded strings."""
+    from fixtures_bench import combined_model
+
+    model = combined_model(max_chars_size=1024)
+    matcher, backend = _best_matcher(model)
+    B = 64 if quick else 512
+    rng = np.random.default_rng(0)
+    chars = np.zeros((B, 1024), np.uint8)
+    base = b"email was meant for @abc. Also for xyz."
+    for i in range(B):
+        chars[i, : len(base)] = bytearray(base)
+    lengths = np.full((B,), len(base), np.int32)
+    dt = _throughput(matcher, chars, lengths, iters=3 if quick else 10)
+    _report(
+        "config1_combined_extraction", backend=backend, batch=B,
+        bytes_per_sec=B * 1024 / dt, witness_rows_per_sec=B * 1024 / dt,
+        sec_per_batch=dt,
+    )
+
+
+def bench2(quick):
+    """Email corpus: 4096 x 1KB fused scan."""
+    from halo2_regex_tpu.models import zoo
+
+    model = zoo.email_headers_model(max_chars_size=1024, headers=("from",))
+    matcher, backend = _best_matcher(model)
+    B = 256 if quick else 4096
+    rng = np.random.default_rng(0)
+    chars = rng.integers(32, 127, size=(B, 1024)).astype(np.uint8)
+    lengths = np.full((B,), 1024, np.int32)
+    dt = _throughput(matcher, chars, lengths, iters=3 if quick else 10)
+    _report(
+        "config2_email_corpus", backend=backend, batch=B,
+        bytes_per_sec=B * 1024 / dt, sec_per_batch=dt,
+    )
+
+
+def bench3(quick):
+    """Large-DFA stress: ~1K-state synthetic table, long inputs."""
+    import jax.numpy as jnp
+
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.models.defs import AllstrRegexDef, RegexDefs
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+
+    rng = np.random.default_rng(0)
+    S = 1000
+    L = 8192 if quick else 65536
+    # synthetic dense DFA over the printable alphabet
+    allstr = AllstrRegexDef(first_state_val=0, accepted_state_val=1,
+                            largest_state_val=S - 1)
+    line = 3
+    for c in range(32, 127):
+        for s in range(S):
+            allstr.state_lookup[(c, s)] = (line, int(rng.integers(0, S)))
+            line += 1
+    model = CompiledRegexModel.from_defs(
+        [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
+    )
+    matcher, backend = _best_matcher(model)
+    B = 4 if quick else 16
+    chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
+    lengths = np.full((B,), L, np.int32)
+    dt = _throughput(matcher, chars, lengths, iters=2)
+    _report(
+        "config3_large_dfa_stress", backend=backend, n_states=S, input_len=L,
+        bytes_per_sec=B * L / dt, sec_per_batch=dt,
+    )
+
+
+def bench4(quick):
+    """Data-parallel scaling efficiency across the device mesh."""
+    import jax
+
+    from halo2_regex_tpu.models import zoo
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+    from halo2_regex_tpu.parallel.data_parallel import DistributedMatcher
+    from halo2_regex_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    model = zoo.email_headers_model(max_chars_size=256, headers=("from",))
+    B = 64 * n
+    rng = np.random.default_rng(0)
+    chars = rng.integers(32, 127, size=(B, 256)).astype(np.uint8)
+    lengths = np.full((B,), 256, np.int32)
+
+    # single device
+    bm = BatchMatcher(model)
+    single = _throughput(bm, chars[: B // n], lengths[: B // n], iters=5)
+
+    if n == 1:
+        _report("config4_scaling", devices=1, efficiency=1.0,
+                bytes_per_sec=B // n * 256 / single)
+        return
+    mesh = make_mesh()
+    dm = DistributedMatcher(model, mesh)
+
+    def run(c, l):
+        r, _ = dm(c, l)
+        return r
+
+    out = run(chars, lengths)
+    jax.block_until_ready(out.mask)
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        out = run(chars, lengths)
+    jax.block_until_ready(out.mask)
+    multi = (time.perf_counter() - t0) / iters
+    # ideal: n devices do n x the work of `single` in the same time
+    efficiency = single / multi
+    _report(
+        "config4_scaling", devices=n, single_shard_sec=single,
+        full_mesh_sec=multi, efficiency=efficiency,
+        bytes_per_sec=B * 256 / multi,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", type=int, nargs="*", default=[0, 1, 2, 3, 4])
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    benches = [bench0, bench1, bench2, bench3, bench4]
+    for i in args.configs:
+        try:
+            benches[i](args.quick)
+        except Exception as e:
+            _report(f"config{i}", error=f"{type(e).__name__}: {str(e)[:200]}")
+
+
+if __name__ == "__main__":
+    main()

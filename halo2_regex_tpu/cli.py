@@ -98,6 +98,53 @@ def _cmd_match(args) -> int:
     return 1 if (args.strict and n_bad) else 0
 
 
+def _cmd_scan(args) -> int:
+    """Stream a newline-delimited corpus through the matcher; print summary
+    statistics (and optionally per-match extractions)."""
+    import numpy as np
+
+    from .models.compiled import CompiledRegexModel
+    from .ops.reference import extract_substrings
+    from .ops.scan_jax import BatchMatcher
+    from .utils.io import CorpusLoader
+    from .utils.trace import Counters
+
+    model = CompiledRegexModel.load(args.model)
+    matcher = BatchMatcher(model)
+    loader = CorpusLoader(
+        args.corpus, max_len=model.max_chars_size, batch_size=args.batch
+    )
+    counters = Counters().start()
+    for chars, lengths, n_valid in loader:
+        res = matcher(chars, lengths)
+        counters.update(res, lengths, n_valid)
+        if args.print_matches:
+            ok = np.asarray(res.match_ok)
+            for i in np.nonzero(ok[:n_valid])[0]:
+                if lengths[i] == 0:
+                    continue
+                row = res.map(lambda a: np.asarray(a)[i])
+                print(
+                    json.dumps(
+                        {
+                            "input": bytes(chars[i][: lengths[i]]).decode("latin-1"),
+                            "substrings": [
+                                {"offset": o, "text": t, "substr_id": s}
+                                for o, t, s in extract_substrings(row)
+                            ],
+                        }
+                    )
+                )
+    print(counters.finish().to_json())
+    if loader.n_truncated:
+        print(
+            f"warning: {loader.n_truncated} line(s) longer than "
+            f"{model.max_chars_size} bytes were truncated",
+            file=sys.stderr,
+        )
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import time
 
@@ -167,6 +214,13 @@ def main(argv=None) -> int:
     p.add_argument("--strict", action="store_true", help="exit 1 if any input fails")
     p.add_argument("strings", nargs="*")
     p.set_defaults(fn=_cmd_match)
+
+    p = sub.add_parser("scan", help="stream a corpus; print match statistics")
+    p.add_argument("--model", required=True)
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--print-matches", action="store_true")
+    p.add_argument("corpus", nargs="+", help="newline-delimited corpus file(s)")
+    p.set_defaults(fn=_cmd_scan)
 
     p = sub.add_parser("bench", help="throughput measurement")
     p.add_argument("--model", required=True)

@@ -1,0 +1,450 @@
+"""Fused Pallas TPU kernels: DFA scan + substring tagging + mask FSMs.
+
+One forward kernel pass produces the full witness column set that the
+reference computes row-by-row on the host (reference: src/lib.rs:311-773,
+804-888); a small reverse pass computes the backward mask FSM. Design
+facts measured on hardware (tools/probe_tpu*.py, docs/PERF.md):
+
+  - XLA's per-step ``lax.scan`` + gather runs at ~50 MB/s here; the whole
+    recurrence must live inside kernels.
+  - TPU has no fast vector gather; the per-byte step instead uses the MXU:
+
+        cls     = Σ_r Δ_r · (c ≥ b_r)          # byte -> equivalence class
+        onehot  = (cls == iota_k)               # [TB, k], k ≈ 8-32
+        cols    = onehot @ M                    # MXU, M [k, 4S]
+        next/id/start/end = Σ cols_slice ⊙ onehot(state)   # lane-reduce
+
+    where ``M[cls, kk*S + s]`` packs FOUR tables (next state, substr id,
+    is_start, is_end as functions of (byte class, cur state)) so tagging
+    and flags ride the same matmul. Byte-class compression exploits that
+    the 256 byte values collapse into few equivalence classes per DFA
+    (bytes with identical packed columns), shrinking the matmul ~256/k x.
+  - Extraction by one-hot select: ``take_along_axis`` mis-lowers narrow
+    indices on this Mosaic and costs ~8 gathers/cycle besides.
+  - The sequence axis is processed in LC-sized chunks by a grid that runs
+    sequentially on-core; the DFA state, forward-FSM carry and chunk-edge
+    columns persist in VMEM scratch across grid steps. This keeps VMEM
+    blocks small (streaming, double-buffered by the Pallas pipeline) and
+    allows large batch tiles.
+  - Everything is time-major ``[LC, TB]`` (per-step row reads are
+    sublane-dimension dynamic slices; lane-dimension dynamic indexing is
+    the slow/broken direction).
+
+bf16 exactness bounds: packed values < 257 (S_pad <= 256, substr ids <=
+256) — asserted at build time.
+
+Outputs are bit-identical to :mod:`halo2_regex_tpu.ops.reference`
+(tests/test_pallas_scan.py: interpret mode on CPU; tools/probe_tpu5.py:
+compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.compiled import CompiledRegexModel
+from ..witness.result import RegexResult
+
+
+def build_packed_tables(model: CompiledRegexModel) -> np.ndarray:
+    """Per-def [256, 4*S] packed tables: next | substr_id | is_start | is_end.
+
+    ``is_start``/``is_end`` are per-transition flags as functions of
+    (char, cur): id = substr_id_table[cur, next]; is_start = id!=0 and
+    cur in start_states(id); is_end = id!=0 and next in end_states(id)
+    (the oracle's is_end at index i+1, i.e. unshifted).
+    """
+    S = model.s_pad
+    assert S <= 256, f"s_pad {S} > 256 breaks bf16 exactness"
+    assert model.total_substrs <= 256, "substr ids > 256 break bf16 exactness"
+    n_defs = model.n_defs
+    out = np.zeros((n_defs, 256, 4 * S), np.float32)
+    for d in range(n_defs):
+        T = model.transition[d]  # [256, S]
+        sub = model.substr_id_table[d]  # [S, S]
+        cur = np.arange(S)[None, :].repeat(256, 0)
+        nxt = T
+        ids = sub[cur, nxt]
+        out[d, :, 0 * S : 1 * S] = nxt
+        out[d, :, 1 * S : 2 * S] = ids
+        out[d, :, 2 * S : 3 * S] = model.is_start_table[ids, cur]
+        out[d, :, 3 * S : 4 * S] = model.is_end_table[ids, nxt]
+    return out
+
+
+def byte_classes(packed_def: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Collapse the 256 byte rows of one def's packed table into
+    equivalence classes. Returns (class_of [256] int32, class_table
+    [k, 4S] f32)."""
+    uniq, inverse = np.unique(packed_def, axis=0, return_inverse=True)
+    return inverse.astype(np.int32), uniq.astype(np.float32)
+
+
+def class_boundaries(class_of: np.ndarray) -> Tuple[int, List[Tuple[int, int]]]:
+    """Represent the byte->class map as cls(c) = cls0 + Σ Δ_r·(c >= b_r).
+    Returns (cls0, [(b_r, Δ_r)...]) with one term per point where the map
+    changes as c increases."""
+    cls0 = int(class_of[0])
+    terms = []
+    for c in range(1, 256):
+        d = int(class_of[c]) - int(class_of[c - 1])
+        if d != 0:
+            terms.append((c, d))
+    return cls0, terms
+
+
+def _round_up(x, m):
+    return -(-x // m) * m
+
+
+class PallasMatcher:
+    """Fused-kernel matcher; drop-in for BatchMatcher (bit-identical
+    RegexResult output).
+
+    Args:
+      batch_tile: strings per kernel instance (lane-tiling unit).
+      chunk: sequence positions per grid step (VMEM block length).
+      max_boundary_terms: if a def's byte->class map needs more boundary
+        terms than this, fall back to a 256-wide one-hot for that def.
+    """
+
+    def __init__(
+        self,
+        model: CompiledRegexModel,
+        batch_tile: int = 512,
+        chunk: int = 256,
+        interpret: bool = False,
+        max_boundary_terms: int = 96,
+    ):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        self.model = model
+        self.batch_tile = batch_tile
+        L = model.max_chars_size
+        S = model.s_pad
+        n_defs = model.n_defs
+        TB = batch_tile
+        LC = min(chunk, L)
+        while L % LC != 0:
+            LC //= 2
+        n_l = L // LC
+        self.chunk = LC
+
+        packed = build_packed_tables(model)
+        class_info = []
+        k_max = 1
+        for d in range(n_defs):
+            class_of, ctab = byte_classes(packed[d])
+            cls0, terms = class_boundaries(class_of)
+            use_classes = len(terms) <= max_boundary_terms
+            class_info.append((use_classes, cls0, terms, ctab))
+            if use_classes:
+                k_max = max(k_max, ctab.shape[0])
+        k_pad = _round_up(max(k_max, 8), 8)
+        # Per-def class tables padded to a common k; defs that fall back to
+        # raw bytes use the full [256, 4S] table.
+        ctabs = np.zeros((n_defs, k_pad, 4 * S), np.float32)
+        raw_needed = any(not ci[0] for ci in class_info)
+        for d, (use_classes, _, _, ctab) in enumerate(class_info):
+            if use_classes:
+                ctabs[d, : ctab.shape[0]] = ctab
+        self.class_info = class_info
+
+        firsts = [int(model.first_states[d]) for d in range(n_defs)]
+
+        def fwd_kernel(
+            ctab_ref,  # [n_defs, k_pad, 4S] f32
+            raw_ref,  # [n_defs, 256, 4S] f32 (present even if unused)
+            chars_ref,  # [LC, TB] int32 block
+            lengths_ref,  # [1, TB] int32
+            states_ref,  # [n_defs, LC, TB] out
+            ids_ref,
+            start_ref,
+            endf_ref,
+            fwd_ref,  # [LC, TB] out
+            state_scr,  # [n_defs, TB] scratch
+            carry_scr,  # [4, TB] scratch: fwd last, prev_ids, prev_endf, pad
+        ):
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                for d in range(n_defs):
+                    state_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
+                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
+
+            lengths = lengths_ref[0, :]
+            base = l * LC
+
+            for d in range(n_defs):
+                use_classes, cls0, terms, ctab = class_info[d]
+                if use_classes:
+                    t_bf = ctab_ref[d].astype(jnp.bfloat16)  # [k_pad, 4S]
+                else:
+                    t_bf = raw_ref[d].astype(jnp.bfloat16)  # [256, 4S]
+                kdim = t_bf.shape[0]
+
+                def body(i, s, d=d, t_bf=t_bf, use_classes=use_classes,
+                         cls0=cls0, terms=terms, kdim=kdim):
+                    c = chars_ref[i, :]  # [TB]
+                    if use_classes:
+                        cls = jnp.full((TB,), cls0, jnp.int32)
+                        for b_r, delta in terms:
+                            cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                    else:
+                        cls = c
+                    onehot = (
+                        cls[:, None]
+                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                    ).astype(jnp.bfloat16)
+                    cols = jnp.dot(
+                        onehot, t_bf, preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)  # [TB, 4S]
+                    en = ((base + i) < lengths).astype(jnp.int32)
+                    sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                        == s[:, None]
+                    ).astype(jnp.int32)
+
+                    def pick(kk):
+                        return jnp.sum(cols[:, kk * S : (kk + 1) * S] * sel, axis=-1)
+
+                    nxt = pick(0)
+                    states_ref[d, i, :] = nxt
+                    ids_ref[d, i, :] = pick(1) * en
+                    start_ref[d, i, :] = pick(2) * en
+                    endf_ref[d, i, :] = pick(3) * en
+                    return nxt
+
+                state_scr[d, :] = jax.lax.fori_loop(
+                    0, LC, body, state_scr[d, :]
+                )
+
+            # forward mask FSM over this chunk (lib.rs:598-645)
+            def sum_over_defs(ref, i):
+                acc = ref[0, i, :]
+                for d in range(1, n_defs):
+                    acc = acc + ref[d, i, :]
+                return acc
+
+            def fwd_body(i, carry):
+                last, prev_ids, prev_endf = carry
+                cur_ids = sum_over_defs(ids_ref, i)
+                st = sum_over_defs(start_ref, i)
+                ef = prev_endf  # is_end_sum[i] = endf[i-1]
+                changed = (prev_ids != cur_ids).astype(jnp.int32)
+                is_set = (st > 0) & (changed > 0)
+                is_reset = (st == 0) & (ef > 0) & (changed > 0)
+                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                fwd_ref[i, :] = new
+                return new, cur_ids, sum_over_defs(endf_ref, i)
+
+            out_carry = jax.lax.fori_loop(
+                0,
+                LC,
+                fwd_body,
+                (carry_scr[0, :], carry_scr[1, :], carry_scr[2, :]),
+            )
+            carry_scr[0, :] = out_carry[0]
+            carry_scr[1, :] = out_carry[1]
+            carry_scr[2, :] = out_carry[2]
+
+        def bwd_kernel(ids_ref, start_ref, endf_ref, bwd_ref, carry_scr):
+            # grid dim 1 iterates chunks in REVERSE via the index maps.
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)  # ids_sum[j+1]
+                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)  # start_sum[j+1]
+
+            def sum_over_defs(ref, i):
+                acc = ref[0, i, :]
+                for d in range(1, n_defs):
+                    acc = acc + ref[d, i, :]
+                return acc
+
+            def body(i, carry):
+                last, next_ids, next_start = carry
+                j = LC - 1 - i
+                cur_ids = sum_over_defs(ids_ref, j)
+                ef = sum_over_defs(endf_ref, j)  # is_end_sum[j+1]
+                changed = (next_ids != cur_ids).astype(jnp.int32)
+                is_set = (ef > 0) & (changed > 0)
+                is_reset = (ef == 0) & (next_start > 0) & (changed > 0)
+                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                bwd_ref[j, :] = new
+                return new, cur_ids, sum_over_defs(start_ref, j)
+
+            out_carry = jax.lax.fori_loop(
+                0,
+                LC,
+                body,
+                (carry_scr[0, :], carry_scr[1, :], carry_scr[2, :]),
+            )
+            carry_scr[0, :] = out_carry[0]
+            carry_scr[1, :] = out_carry[1]
+            carry_scr[2, :] = out_carry[2]
+
+        tables_c = jnp.asarray(ctabs)
+        tables_raw = jnp.asarray(packed if raw_needed else packed[:, :1, :])
+
+        def make_fwd(B):
+            n_b = B // TB
+            return pl.pallas_call(
+                fwd_kernel,
+                grid=(n_b, n_l),
+                in_specs=[
+                    pl.BlockSpec(
+                        tables_c.shape, lambda b, l: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        tables_raw.shape, lambda b, l: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec((LC, TB), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda b, l: (0, b), memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (n_defs, LC, TB), lambda b, l: (0, l, b),
+                        memory_space=pltpu.VMEM,
+                    )
+                ] * 4
+                + [
+                    pl.BlockSpec((LC, TB), lambda b, l: (l, b), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((L, B), jnp.int32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((n_defs, TB), jnp.int32),
+                    pltpu.VMEM((4, TB), jnp.int32),
+                ],
+                interpret=interpret,
+            )
+
+        def make_bwd(B):
+            n_b = B // TB
+            rev = lambda b, l: (0, n_l - 1 - l, b)
+            rev2 = lambda b, l: (n_l - 1 - l, b)
+            return pl.pallas_call(
+                bwd_kernel,
+                grid=(n_b, n_l),
+                in_specs=[
+                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((LC, TB), rev2, memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((4, TB), jnp.int32)],
+                interpret=interpret,
+            )
+
+        model_arrays = dict(
+            accepted_states=jnp.asarray(model.accepted_states),
+            dummy_states=jnp.asarray(model.dummy_states),
+            dead_states=jnp.asarray(model.dead_states),
+            first_states=jnp.asarray(model.first_states),
+        )
+
+        @jax.jit
+        def run(chars, lengths):
+            B = chars.shape[0]
+            ctm = chars.astype(jnp.int32).T  # [L, B]
+            states_tm, ids_tm, start_tm, endf_tm, fwd_tm = make_fwd(B)(
+                tables_c, tables_raw, ctm, lengths[None, :]
+            )
+            bwd_tm = make_bwd(B)(ids_tm, start_tm, endf_tm)
+
+            pos = jnp.arange(L, dtype=jnp.int32)
+            enable = (pos[None, :] < lengths[:, None]).astype(jnp.int32)
+            chars_i32 = chars.astype(jnp.int32) * enable
+
+            after = jnp.moveaxis(states_tm, -1, 0)  # [B, n_defs, L]
+            ids_per_def = jnp.moveaxis(ids_tm, -1, 0)
+            start_per_def = jnp.moveaxis(start_tm, -1, 0)
+            endf_per_def = jnp.moveaxis(endf_tm, -1, 0)
+            fwd = fwd_tm.T
+            bwd = bwd_tm.T
+
+            first = model_arrays["first_states"][None, :, None]
+            raw = jnp.concatenate(
+                [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
+            )
+            posL1 = jnp.arange(L + 1, dtype=jnp.int32)
+            in_range = posL1[None, None, :] <= lengths[:, None, None]
+            dummy = model_arrays["dummy_states"][None, :, None]
+            states = jnp.where(in_range, raw, dummy)
+
+            final = jnp.take_along_axis(
+                raw, lengths[:, None, None].repeat(n_defs, 1), axis=2
+            )[:, :, 0]
+            accepted = final == model_arrays["accepted_states"][None, :]
+            has_dead = final == model_arrays["dead_states"][None, :]
+
+            substr_id_sum = ids_per_def.sum(axis=1)
+            is_start_sum = jnp.concatenate(
+                [start_per_def.sum(axis=1), jnp.zeros((B, 1), jnp.int32)], axis=1
+            )
+            is_end_sum = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), endf_per_def.sum(axis=1)], axis=1
+            )
+            start_enable = enable[:, None, :] * start_per_def
+            end_enable = enable[:, None, :] * endf_per_def
+            mask = fwd * bwd
+            return dict(
+                all_enable_flags=enable,
+                all_characters=chars_i32,
+                all_substr_ids=mask * substr_id_sum,
+                masked_characters=mask * chars_i32,
+                states=states,
+                substr_ids_per_def=ids_per_def,
+                start_enable=start_enable,
+                end_enable=end_enable,
+                is_start_sum=is_start_sum,
+                is_end_sum=is_end_sum,
+                substr_id_sum=substr_id_sum,
+                fwd_mask=fwd,
+                bwd_mask=bwd,
+                mask=mask,
+                accepted=accepted,
+                has_dead=has_dead,
+                match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+            )
+
+        self._run = run
+
+    def __call__(self, chars, lengths) -> RegexResult:
+        chars = jnp.asarray(chars, jnp.uint8)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        B = chars.shape[0]
+        if B % self.batch_tile != 0:
+            pad = self.batch_tile - B % self.batch_tile
+            chars = jnp.pad(chars, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+            out = self._run(chars, lengths)
+            return RegexResult(**{k: v[:B] for k, v in out.items()})
+        return RegexResult(**self._run(chars, lengths))
+
+    def match_one(self, characters: bytes) -> RegexResult:
+        L = self.model.max_chars_size
+        buf = np.zeros((1, L), np.uint8)
+        buf[0, : len(characters)] = bytearray(characters)
+        res = self(buf, np.array([len(characters)], np.int32))
+        return res.map(lambda a: np.asarray(a)[0])

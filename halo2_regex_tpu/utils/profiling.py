@@ -59,13 +59,24 @@ def scan_roofline_bytes_per_sec(device=None, traffic: Optional[ScanTraffic] = No
     return spec["hbm_gbps"] / t.total
 
 
+def _fetch(out):
+    """Force a real host fetch. On tunneled/relayed devices
+    ``block_until_ready`` may resolve before remote execution completes, so
+    timing must transfer (a small piece of) the result to the host."""
+    import numpy as np
+
+    leaves = jax.tree.leaves(out)
+    return np.asarray(leaves[0].ravel()[:1]) if leaves else None
+
+
 def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
-    """Seconds per call, device-synchronized."""
+    """Seconds per call, synchronized by fetching a result element each
+    iteration (see _fetch)."""
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _fetch(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        _fetch(out)
     return (time.perf_counter() - t0) / iters

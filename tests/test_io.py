@@ -1,0 +1,63 @@
+"""Corpus loader tests."""
+
+import numpy as np
+
+from halo2_regex_tpu.utils.io import CorpusLoader, batch_iterator, pack_lines
+
+
+def test_pack_lines_fallback_matches_native():
+    data = b"alpha\nbeta\n\ngamma-longer-than-max\nd"
+    chars, lengths, trunc = pack_lines(data, 8)
+    assert lengths.tolist() == [5, 4, 0, 8, 1]
+    assert trunc == 1
+    assert bytes(chars[0][:5]) == b"alpha"
+    assert bytes(chars[4][:1]) == b"d"
+
+
+def test_batch_iterator_pads_final():
+    chars = np.arange(50, dtype=np.uint8).reshape(10, 5)
+    lengths = np.full(10, 5, np.int32)
+    batches = list(batch_iterator(chars, lengths, 4))
+    assert len(batches) == 3
+    assert batches[2][0].shape == (4, 5)
+    assert batches[2][1].tolist() == [5, 5, 0, 0]
+    assert [b[2] for b in batches] == [4, 4, 2]
+
+
+def test_corpus_loader_end_to_end(tmp_path):
+    lines = [f"line-{i:04d}".encode() for i in range(103)]
+    p1 = tmp_path / "a.txt"
+    p2 = tmp_path / "b.txt"
+    p1.write_bytes(b"\n".join(lines[:50]) + b"\n")
+    p2.write_bytes(b"\n".join(lines[50:]) + b"\n")
+    loader = CorpusLoader([str(p1), str(p2)], max_len=16, batch_size=16)
+    seen = []
+    for chars, lengths, n_valid in loader:
+        for row, ln in zip(chars[:n_valid], lengths[:n_valid]):
+            seen.append(bytes(row[:ln]))
+    assert seen == lines
+
+
+def test_corpus_loader_small_read_chunks(tmp_path):
+    """Chunk boundaries mid-line must not lose or split lines."""
+    lines = [b"x" * (i % 7 + 1) for i in range(37)]
+    p = tmp_path / "c.txt"
+    p.write_bytes(b"\n".join(lines) + b"\n")
+    loader = CorpusLoader([str(p)], max_len=8, batch_size=8, read_chunk_bytes=13)
+    seen = []
+    for chars, lengths, n_valid in loader:
+        for row, ln in zip(chars[:n_valid], lengths[:n_valid]):
+            seen.append(bytes(row[:ln]))
+    assert seen == lines
+
+
+def test_corpus_loader_process_sharding(tmp_path):
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"f{i}.txt"
+        p.write_bytes(f"file{i}\n".encode())
+        paths.append(str(p))
+    l0 = CorpusLoader(paths, 16, 4, process_index=0, process_count=2)
+    l1 = CorpusLoader(paths, 16, 4, process_index=1, process_count=2)
+    assert len(l0.paths) == 2 and len(l1.paths) == 2
+    assert set(l0.paths) | set(l1.paths) == set(paths)

@@ -1,0 +1,125 @@
+"""Fused Pallas kernel vs the oracle (interpret mode on CPU; the same
+kernel compiles for TPU — tools/probe_tpu*.py and bench.py exercise it on
+hardware)."""
+
+import numpy as np
+import pytest
+
+from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+from halo2_regex_tpu.models.compiled import CompiledRegexModel
+from halo2_regex_tpu.ops import reference as ref_ops
+from halo2_regex_tpu.ops.pallas_scan import PallasMatcher, build_packed_tables
+from halo2_regex_tpu.ops.scan_jax import pack_batch
+
+from fixtures import CONFIGS
+
+MAX_LEN = 64
+
+
+@pytest.fixture(scope="module")
+def model3():
+    return CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]),
+        max_chars_size=MAX_LEN,
+        state_pad_multiple=8,
+    )
+
+
+@pytest.fixture(scope="module")
+def model12():
+    cfgs = [
+        DecomposedRegexConfig.from_json(CONFIGS["regex1"]),
+        DecomposedRegexConfig.from_json(CONFIGS["regex2"]),
+    ]
+    return CompiledRegexModel.from_decomposed(cfgs, max_chars_size=MAX_LEN)
+
+
+def assert_same(a, b):
+    for name in a.field_names():
+        x = np.asarray(getattr(a, name)).astype(np.int64)
+        y = np.asarray(getattr(b, name)).astype(np.int64)
+        np.testing.assert_array_equal(x, y, err_msg=f"field {name}")
+
+
+def test_packed_tables_shape(model3):
+    t = build_packed_tables(model3)
+    assert t.shape == (1, 256, 4 * model3.s_pad)
+    # next-state block must equal the transition table
+    np.testing.assert_array_equal(t[0, :, : model3.s_pad], model3.transition[0])
+
+
+STRINGS3 = [
+    b"from:alice@gmail.com\r\n",
+    b"dummy\r\nfrom:alice<alice@gmail.com>\r\n",
+    b"from:alice<alicegmail.com>\r\n",
+    b"",
+    bytes([0, 1, 2]),
+    b"from:bob@x.yz\r\n",
+    b"from:alice<alice@gmail.com>",
+    b"x" * MAX_LEN,  # full-length input
+]
+
+
+def test_pallas_interpret_vs_oracle(model3):
+    matcher = PallasMatcher(model3, batch_tile=8, interpret=True)
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(STRINGS3):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)
+
+
+def test_pallas_interpret_multi_def(model12):
+    matcher = PallasMatcher(model12, batch_tile=8, interpret=True)
+    strings = [
+        b"email was meant for @y. Also for x.",
+        b"email was meant for @yajk. Also for swq.",
+        b"email was meant for @@",
+        b"",
+    ]
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)
+
+
+def test_pallas_batch_padding(model3):
+    """Batch not divisible by the tile gets padded and truncated."""
+    matcher = PallasMatcher(model3, batch_tile=8, interpret=True)
+    strings = STRINGS3[:3]
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = matcher(chars, lengths)
+    assert np.asarray(res.match_ok).shape == (3,)
+    oracle = ref_ops.match_substrs(model3.regex_defs, strings[0], MAX_LEN)
+    row = res.map(lambda a: np.asarray(a)[0])
+    assert_same(row, oracle)
+
+
+def test_pallas_chunked_grid(model3):
+    """Multiple L-chunks: scratch-carried state and reversed bwd pass."""
+    matcher = PallasMatcher(model3, batch_tile=8, chunk=16, interpret=True)
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(STRINGS3):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)
+
+
+def test_pallas_class_compression_active(model3):
+    """The email DFA's byte map must collapse to a small class count."""
+    m = PallasMatcher(model3, batch_tile=8, interpret=True)
+    use_classes, cls0, terms, ctab = m.class_info[0]
+    assert use_classes
+    assert ctab.shape[0] <= 32  # few equivalence classes
+    # boundary representation reproduces the exact byte->class map
+    from halo2_regex_tpu.ops.pallas_scan import build_packed_tables, byte_classes
+
+    class_of, _ = byte_classes(build_packed_tables(m.model)[0])
+    recon = np.full(256, cls0)
+    for b_r, delta in terms:
+        recon[b_r:] += delta
+    np.testing.assert_array_equal(recon, class_of)

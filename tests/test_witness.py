@@ -127,3 +127,21 @@ def test_jax_witness_also_verifies(model3):
 
     res = BatchMatcher(model3).match_one(b"from:alice@gmail.com\r\n")
     assert verify(model3.regex_defs, res)
+
+
+def test_witness_save_load_roundtrip(tmp_path, model3):
+    import numpy as np
+
+    from halo2_regex_tpu.witness.io import load_witness, save_witness
+
+    s = b"from:alice@gmail.com\r\n"
+    result = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+    path = tmp_path / "witness.npz"
+    save_witness(path, model3.regex_defs, result)
+    defs2, result2, tables = load_witness(path)
+    for name in result.field_names():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(result, name)), getattr(result2, name), err_msg=name
+        )
+    assert verify(defs2, result2)
+    assert "t0_characters" in tables and "e0_start_states" in tables

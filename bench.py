@@ -56,23 +56,29 @@ def main() -> int:
         chars[i, : len(s)] = bytearray(s)
         lengths[i] = len(s)
 
-    # Pick the fastest available backend for the fused scan.
+    # Pick the fastest available backend for the fused scan; a Pallas
+    # compile failure (e.g. a Mosaic crash on an exotic config) falls back
+    # to the XLA path rather than killing the bench.
+    chars_j = jax.numpy.asarray(chars)
+    lengths_j = jax.numpy.asarray(lengths)
     matcher = None
     backend_name = "xla"
-    try:
-        from halo2_regex_tpu.ops.pallas_scan import PallasMatcher  # noqa: E402
+    if jax.devices()[0].platform == "tpu" and not os.environ.get("H2R_BENCH_NO_PALLAS"):
+        try:
+            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher  # noqa: E402
 
-        matcher = PallasMatcher(model)
-        backend_name = "pallas"
-    except Exception:
-        matcher = None
+            matcher = PallasMatcher(model)
+            matcher(chars_j[:matcher.batch_tile], lengths_j[:matcher.batch_tile])
+            backend_name = "pallas"
+        except Exception as e:
+            print(f"# pallas backend unavailable ({type(e).__name__}); xla fallback",
+                  file=sys.stderr)
+            matcher = None
     if matcher is None:
         from halo2_regex_tpu.ops.scan_jax import BatchMatcher  # noqa: E402
 
         matcher = BatchMatcher(model)
 
-    chars_j = jax.numpy.asarray(chars)
-    lengths_j = jax.numpy.asarray(lengths)
     sec = benchmark(matcher, chars_j, lengths_j, iters=iters, warmup=2)
     value = B * L / sec
 

@@ -251,10 +251,32 @@ class DecomposedRegexConfig:
         return results
 
     # ------------------------------------------------------------------
+    def warn_if_multi_accept(self, nodes=None) -> Optional[str]:
+        """The table format supports ONE accepted state (defs.rs:31-33);
+        a DFA with several (e.g. a final part ending in `(x)?`) silently
+        rejects inputs that land on the unrecorded ones. Returns a warning
+        string, or None."""
+        if nodes is None:
+            nodes = self.compile_dfa()
+        accepts = [i for i, n in enumerate(nodes) if n.type == "accept"]
+        if len(accepts) > 1:
+            return (
+                f"DFA has {len(accepts)} accepting states {accepts}; only the "
+                f"first ({accepts[0]}) is recorded in the table format — "
+                "inputs reaching the others will be rejected. Avoid optional "
+                "tails in the final part."
+            )
+        return None
+
     def gen_regex_files(self, allstr_file_path, substr_file_pathes) -> None:
         """Write the allstr text table and one substr text table per public
         part, byte-identically to the reference (mod.rs:67-307)."""
         nodes = self.compile_dfa()
+        warning = self.warn_if_multi_accept(nodes)
+        if warning:
+            import warnings
+
+            warnings.warn(warning, stacklevel=2)
         Path(allstr_file_path).write_text(dfa_to_regex_def_text(nodes))
         (
             substr_defs_array,

@@ -120,16 +120,27 @@ class PallasMatcher:
         chunk: int = 256,
         interpret: bool = False,
         max_boundary_terms: int = 96,
+        extract: str = "select",  # "select" | "take_along"
+        grid_mode: str = "batch",  # "batch" (1D, whole L) | "chunked" (2D)
     ):
+        """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
+        per batch tile with a 1D grid — the form this toolchain compiles
+        (the current Mosaic build SIGABRTs on MXU matmuls inside multi-dim
+        grids with scratch, probe_tpu7). ``"chunked"`` streams L in
+        scratch-carried chunks (lower VMEM, preferred once the toolchain
+        handles it)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
         self.model = model
         self.batch_tile = batch_tile
+        self.grid_mode = grid_mode
         L = model.max_chars_size
         S = model.s_pad
         n_defs = model.n_defs
         TB = batch_tile
+        if grid_mode == "batch":
+            chunk = L
         LC = min(chunk, L)
         while L % LC != 0:
             LC //= 2
@@ -209,13 +220,28 @@ class PallasMatcher:
                         onehot, t_bf, preferred_element_type=jnp.float32
                     ).astype(jnp.int32)  # [TB, 4S]
                     en = ((base + i) < lengths).astype(jnp.int32)
-                    sel = (
-                        jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                        == s[:, None]
-                    ).astype(jnp.int32)
+                    # Extraction: one-hot select (compare+multiply+lane-
+                    # reduce) by default — take_along_axis mis-lowers narrow
+                    # indices and costs ~8 gathers/cycle (probe_tpu3). The
+                    # full-width take_along form is kept as a fallback mode.
+                    if extract == "select":
+                        sel = (
+                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                            == s[:, None]
+                        ).astype(jnp.int32)
 
-                    def pick(kk):
-                        return jnp.sum(cols[:, kk * S : (kk + 1) * S] * sel, axis=-1)
+                        def pick(kk):
+                            return jnp.sum(
+                                cols[:, kk * S : (kk + 1) * S] * sel, axis=-1
+                            )
+
+                    else:
+                        idx = jnp.broadcast_to(s[:, None], (TB, S))
+
+                        def pick(kk):
+                            return jnp.take_along_axis(
+                                cols[:, kk * S : (kk + 1) * S], idx, axis=-1
+                            )[:, 0]
 
                     nxt = pick(0)
                     states_ref[d, i, :] = nxt
@@ -356,6 +382,148 @@ class PallasMatcher:
                 interpret=interpret,
             )
 
+        def flat_kernel(
+            ctab_ref,
+            raw_ref,
+            chars_ref,  # [L, TB]
+            lengths_ref,  # [1, TB]
+            states_ref,  # [n_defs, L, TB]
+            ids_ref,
+            start_ref,
+            endf_ref,
+            fwd_ref,  # [L, TB]
+            bwd_ref,  # [L, TB]
+        ):
+            """1D-grid variant: whole sequence resident, no scratch — the
+            structure this Mosaic build compiles (probe_tpu7)."""
+            lengths = lengths_ref[0, :]
+            for d in range(n_defs):
+                use_classes, cls0, terms, ctab = class_info[d]
+                t_bf = (ctab_ref[d] if use_classes else raw_ref[d]).astype(
+                    jnp.bfloat16
+                )
+                kdim = t_bf.shape[0]
+
+                def body(i, s, d=d, t_bf=t_bf, use_classes=use_classes,
+                         cls0=cls0, terms=terms, kdim=kdim):
+                    c = chars_ref[i, :]
+                    if use_classes:
+                        cls = jnp.full((TB,), cls0, jnp.int32)
+                        for b_r, delta in terms:
+                            cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                    else:
+                        cls = c
+                    onehot = (
+                        cls[:, None]
+                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                    ).astype(jnp.bfloat16)
+                    cols = jnp.dot(
+                        onehot, t_bf, preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)
+                    en = (i < lengths).astype(jnp.int32)
+                    if extract == "select":
+                        sel = (
+                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                            == s[:, None]
+                        ).astype(jnp.int32)
+
+                        def pick(kk):
+                            return jnp.sum(
+                                cols[:, kk * S : (kk + 1) * S] * sel, axis=-1
+                            )
+
+                    else:
+                        idx = jnp.broadcast_to(s[:, None], (TB, S))
+
+                        def pick(kk):
+                            return jnp.take_along_axis(
+                                cols[:, kk * S : (kk + 1) * S], idx, axis=-1
+                            )[:, 0]
+
+                    nxt = pick(0)
+                    states_ref[d, i, :] = nxt
+                    ids_ref[d, i, :] = pick(1) * en
+                    start_ref[d, i, :] = pick(2) * en
+                    endf_ref[d, i, :] = pick(3) * en
+                    return nxt
+
+                jax.lax.fori_loop(
+                    0, L, body, jnp.full((TB,), firsts[d], jnp.int32)
+                )
+
+            def sum_over_defs(ref, i):
+                acc = ref[0, i, :]
+                for d in range(1, n_defs):
+                    acc = acc + ref[d, i, :]
+                return acc
+
+            zero = jnp.zeros((TB,), jnp.int32)
+
+            def fwd_body(i, carry):
+                last, prev_ids, prev_endf = carry
+                cur_ids = sum_over_defs(ids_ref, i)
+                st = sum_over_defs(start_ref, i)
+                changed = (prev_ids != cur_ids).astype(jnp.int32)
+                is_set = (st > 0) & (changed > 0)
+                is_reset = (st == 0) & (prev_endf > 0) & (changed > 0)
+                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                fwd_ref[i, :] = new
+                return new, cur_ids, sum_over_defs(endf_ref, i)
+
+            jax.lax.fori_loop(0, L, fwd_body, (zero, zero, zero))
+
+            def bwd_body(i, carry):
+                last, next_ids, next_start = carry
+                j = L - 1 - i
+                cur_ids = sum_over_defs(ids_ref, j)
+                ef = sum_over_defs(endf_ref, j)
+                changed = (next_ids != cur_ids).astype(jnp.int32)
+                is_set = (ef > 0) & (changed > 0)
+                is_reset = (ef == 0) & (next_start > 0) & (changed > 0)
+                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                bwd_ref[j, :] = new
+                return new, cur_ids, sum_over_defs(start_ref, j)
+
+            jax.lax.fori_loop(0, L, bwd_body, (zero, zero, zero))
+
+        def make_flat(B):
+            n_b = B // TB
+            return pl.pallas_call(
+                flat_kernel,
+                grid=(n_b,),
+                in_specs=[
+                    pl.BlockSpec(
+                        tables_c.shape, lambda b: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        tables_raw.shape, lambda b: (0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (n_defs, L, TB), lambda b: (0, 0, b),
+                        memory_space=pltpu.VMEM,
+                    )
+                ] * 4
+                + [
+                    pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((L, B), jnp.int32),
+                    jax.ShapeDtypeStruct((L, B), jnp.int32),
+                ],
+                interpret=interpret,
+            )
+
         model_arrays = dict(
             accepted_states=jnp.asarray(model.accepted_states),
             dummy_states=jnp.asarray(model.dummy_states),
@@ -367,10 +535,15 @@ class PallasMatcher:
         def run(chars, lengths):
             B = chars.shape[0]
             ctm = chars.astype(jnp.int32).T  # [L, B]
-            states_tm, ids_tm, start_tm, endf_tm, fwd_tm = make_fwd(B)(
-                tables_c, tables_raw, ctm, lengths[None, :]
-            )
-            bwd_tm = make_bwd(B)(ids_tm, start_tm, endf_tm)
+            if grid_mode == "batch":
+                states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm = make_flat(
+                    B
+                )(tables_c, tables_raw, ctm, lengths[None, :])
+            else:
+                states_tm, ids_tm, start_tm, endf_tm, fwd_tm = make_fwd(B)(
+                    tables_c, tables_raw, ctm, lengths[None, :]
+                )
+                bwd_tm = make_bwd(B)(ids_tm, start_tm, endf_tm)
 
             pos = jnp.arange(L, dtype=jnp.int32)
             enable = (pos[None, :] < lengths[:, None]).astype(jnp.int32)

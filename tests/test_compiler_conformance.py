@@ -96,3 +96,29 @@ def test_parser_quirks():
     bytes_seen = {int(line.split()[2]) for line in text.splitlines()[3:]}
     assert 11 not in bytes_seen and 12 not in bytes_seen
     assert bytes_seen == set(range(32, 127)) | {9, 10, 13}
+
+
+def test_multi_accept_warning(tmp_path):
+    """A final part with an optional tail yields 2 accepting states; the
+    single-accept table format silently drops one — we warn."""
+    import warnings
+
+    cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 16,
+            "parts": [{"is_public": False, "regex_def": "ab(c)?", "max_size": 3}],
+        }
+    )
+    assert cfg.warn_if_multi_accept() is not None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg.gen_regex_files(tmp_path / "a.txt", [])
+        assert any("accepting states" in str(x.message) for x in w)
+    # single-accept configs stay silent
+    ok_cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 16,
+            "parts": [{"is_public": False, "regex_def": "abc", "max_size": 3}],
+        }
+    )
+    assert ok_cfg.warn_if_multi_accept() is None

@@ -123,3 +123,29 @@ def test_pallas_class_compression_active(model3):
     for b_r, delta in terms:
         recon[b_r:] += delta
     np.testing.assert_array_equal(recon, class_of)
+
+
+def test_pallas_take_along_extract_mode(model3):
+    """The take_along fallback extraction is also bit-exact."""
+    matcher = PallasMatcher(
+        model3, batch_tile=8, chunk=16, interpret=True, extract="take_along"
+    )
+    chars, lengths = pack_batch(STRINGS3[:4], MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(STRINGS3[:4]):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)
+
+
+def test_pallas_chunked_mode(model3):
+    """The chunked (2D grid) mode stays bit-exact in interpret mode."""
+    matcher = PallasMatcher(
+        model3, batch_tile=8, chunk=16, interpret=True, grid_mode="chunked"
+    )
+    chars, lengths = pack_batch(STRINGS3[:4], MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(STRINGS3[:4]):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)

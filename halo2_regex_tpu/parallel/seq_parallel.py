@@ -132,6 +132,8 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
     has_dead = []
     states_all = []
     ids_all = []
+    start_all = []
+    endf_all = []
     for d in range(n_defs):
         t = arrays["transition"][d]
         t_flat = t.reshape(-1)
@@ -188,6 +190,8 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
         has_dead.append(final_state == arrays["dead_states"][d])
         states_all.append(after)
         ids_all.append(ids_d)
+        start_all.append(is_start_d)
+        endf_all.append(is_end_unshifted * enable)
         ids_sum = ids_sum + ids_d
         is_start_sum = is_start_sum + is_start_d
         is_end_sum_sh = is_end_sum_sh + is_end_d
@@ -250,6 +254,8 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
         enable=enable,
         states_after=jnp.stack(states_all, axis=1),  # [B, n_defs, Ls]
         substr_ids_per_def=jnp.stack(ids_all, axis=1),
+        is_start_per_def=jnp.stack(start_all, axis=1),
+        endf_per_def=jnp.stack(endf_all, axis=1),  # unshifted end flags
         substr_id_sum=ids_sum,
         is_start_sum=is_start_sum,
         is_end_sum=is_end_sum_sh,
@@ -285,6 +291,8 @@ class SeqShardedMatcher:
                 enable=P(DATA_AXIS, SEQ_AXIS),
                 states_after=P(DATA_AXIS, None, SEQ_AXIS),
                 substr_ids_per_def=P(DATA_AXIS, None, SEQ_AXIS),
+                is_start_per_def=P(DATA_AXIS, None, SEQ_AXIS),
+                endf_per_def=P(DATA_AXIS, None, SEQ_AXIS),
                 substr_id_sum=P(DATA_AXIS, SEQ_AXIS),
                 is_start_sum=P(DATA_AXIS, SEQ_AXIS),
                 is_end_sum=P(DATA_AXIS, SEQ_AXIS),
@@ -305,3 +313,53 @@ class SeqShardedMatcher:
         chars = jnp.asarray(chars, jnp.uint8)
         lengths = jnp.asarray(lengths, jnp.int32)
         return self._run(chars, lengths)
+
+    def match(self, chars, lengths) -> RegexResult:
+        """Full RegexResult view (API parity with BatchMatcher). The
+        sequence-sharded kernel emits states-after and flag columns; this
+        assembles the padded state rows, summed flag columns and enables —
+        light elementwise work, left to XLA."""
+        chars = jnp.asarray(chars, jnp.uint8)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        out = self._run(chars, lengths)
+        B, L = chars.shape
+        n_defs = self.model.n_defs
+        enable = out["enable"]
+        chars_i32 = chars.astype(jnp.int32) * enable
+        after = out["states_after"]  # [B, n_defs, L] (raw beyond len)
+        first = jnp.asarray(self.model.first_states)[None, :, None]
+        raw = jnp.concatenate(
+            [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
+        )
+        posL1 = jnp.arange(L + 1, dtype=jnp.int32)
+        in_range = posL1[None, None, :] <= lengths[:, None, None]
+        dummy = jnp.asarray(self.model.dummy_states)[None, :, None]
+        states = jnp.where(in_range, raw, dummy)
+        # flags: kernel's is_start_sum covers positions [0..L-1]; index L is
+        # structurally false (lib.rs:869). is_end_sum is the shifted column;
+        # its honest index L equals the summed UNSHIFTED flag at L-1.
+        is_start_sum = jnp.concatenate(
+            [out["is_start_sum"], jnp.zeros((B, 1), jnp.int32)], axis=1
+        )
+        is_end_sum = jnp.concatenate(
+            [out["is_end_sum"], out["endf_per_def"].sum(axis=1)[:, -1:]], axis=1
+        )
+        return RegexResult(
+            all_enable_flags=enable,
+            all_characters=chars_i32,
+            all_substr_ids=out["all_substr_ids"],
+            masked_characters=out["masked_characters"],
+            states=states,
+            substr_ids_per_def=out["substr_ids_per_def"],
+            start_enable=enable[:, None, :] * out["is_start_per_def"],
+            end_enable=enable[:, None, :] * out["endf_per_def"],
+            is_start_sum=is_start_sum,
+            is_end_sum=is_end_sum,
+            substr_id_sum=out["substr_id_sum"],
+            fwd_mask=out["fwd_mask"],
+            bwd_mask=out["bwd_mask"],
+            mask=out["mask"],
+            accepted=out["accepted"],
+            has_dead=out["has_dead"],
+            match_ok=out["match_ok"],
+        )

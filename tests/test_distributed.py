@@ -122,3 +122,24 @@ def test_seq_sharded_long_input(model3):
         np.asarray(out["masked_characters"])[0], oracle.masked_characters
     )
     assert bool(np.asarray(out["match_ok"])[0]) == bool(oracle.match_ok)
+
+
+def test_seq_sharded_match_full_result(model3):
+    """SeqShardedMatcher.match returns a full RegexResult bit-identical to
+    the BatchMatcher."""
+    mesh = make_mesh(seq=2)
+    sm = SeqShardedMatcher(model3, mesh)
+    bm = BatchMatcher(model3)
+    strings = STRINGS + [b"y" * MAX_LEN]  # include a full-length input
+    # pad to multiple of data axis
+    while len(strings) % mesh.shape["data"] != 0:
+        strings.append(b"")
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = sm.match(chars, lengths)
+    ref = bm(chars, lengths)
+    for name in res.field_names():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(res, name)).astype(np.int64),
+            np.asarray(getattr(ref, name)).astype(np.int64),
+            err_msg=f"field {name}",
+        )

@@ -91,59 +91,66 @@ def prefix_transition_maps(transition: jnp.ndarray, chars: jnp.ndarray):
 
 
 def _match_core(arrays: dict, n_defs: int, chars: jnp.ndarray, lengths: jnp.ndarray):
-    """Witness generation for a batch. Returns a dict of arrays."""
+    """Witness generation for a batch. Returns a dict of arrays.
+
+    All defs run in ONE ``lax.scan`` (the carry is [B, n_defs] states and
+    each step one fused gather over the def-stacked flat table) — per-step
+    overhead dominates this path on TPU, so def-vectorizing is an n_defs-x
+    win for multi-def models."""
     B, L = chars.shape
     S = arrays["transition"].shape[-1]
     pos = jnp.arange(L, dtype=jnp.int32)
     enable = (pos[None, :] < lengths[:, None]).astype(jnp.int32)  # [B, L]
     chars_i32 = chars.astype(jnp.int32) * enable  # zero padding bytes
 
-    states_list = []
-    ids_list = []
-    is_start_list = []
-    is_end_list = []
-    accepted_list = []
-    has_dead_list = []
-    for d in range(n_defs):
-        raw = scan_states(arrays["transition"][d], arrays["first_states"][d], chars)
-        dummy = arrays["dummy_states"][d]
-        dead = arrays["dead_states"][d]
-        posL1 = jnp.arange(L + 1, dtype=jnp.int32)
-        in_range = posL1[None, :] <= lengths[:, None]  # rows 0..len keep real states
-        states_d = jnp.where(in_range, raw, dummy)  # [B, L+1]
+    t_all = arrays["transition"].reshape(-1)  # [n_defs*256*S]
+    d_off = (jnp.arange(n_defs, dtype=jnp.int32) * (256 * S))[None, :]
+    c_t = chars.astype(jnp.int32).T  # [L, B]
 
-        # substr ids on transitions (lib.rs:825-845); 0 beyond the input.
-        sub_flat = arrays["substr_id_table"][d].reshape(-1)
-        ids_d = jnp.take(sub_flat, raw[:, :L] * S + raw[:, 1:]) * enable
+    def step(state, c):  # state [B, n_defs]
+        nxt = jnp.take(t_all, d_off + c[:, None] * S + state)
+        return nxt, nxt
 
-        # start/end flags (lib.rs:847-888). is_start[i] uses (ids[i],
-        # state[i]); is_end is right-shifted: is_end[i] uses (ids[i-1],
-        # state[i]).
-        st_flat = arrays["is_start_table"].reshape(-1)
-        en_flat = arrays["is_end_table"].reshape(-1)
-        Ssub = arrays["is_start_table"].shape[-1]
-        is_start_d = jnp.take(st_flat, ids_d * Ssub + raw[:, :L]).astype(jnp.int32)
-        is_start_d = jnp.concatenate(
-            [is_start_d, jnp.zeros((B, 1), jnp.int32)], axis=1
-        )  # trailing false (lib.rs:869)
-        is_end_body = jnp.take(en_flat, ids_d * Ssub + raw[:, 1:]).astype(jnp.int32)
-        is_end_d = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32), is_end_body], axis=1
-        )  # leading false (lib.rs:882)
+    init = jnp.broadcast_to(arrays["first_states"][None, :], (B, n_defs)).astype(
+        jnp.int32
+    )
+    _, seq = jax.lax.scan(step, init, c_t)  # [L, B, n_defs]
+    raw = jnp.concatenate([init[None], seq], axis=0)  # [L+1, B, n_defs]
+    raw = jnp.moveaxis(raw, 0, 2)  # [B, n_defs, L+1]
 
-        final_state = jnp.take_along_axis(raw, lengths[:, None], axis=1)[:, 0]
-        accepted_list.append(final_state == arrays["accepted_states"][d])
-        # DEAD is absorbing, so deadness at the final state == any dead.
-        has_dead_list.append(final_state == dead)
-        states_list.append(states_d)
-        ids_list.append(ids_d)
-        is_start_list.append(is_start_d)
-        is_end_list.append(is_end_d)
+    posL1 = jnp.arange(L + 1, dtype=jnp.int32)
+    in_range = posL1[None, None, :] <= lengths[:, None, None]
+    dummy = arrays["dummy_states"][None, :, None]
+    states = jnp.where(in_range, raw, dummy)  # [B, n_defs, L+1]
 
-    states = jnp.stack(states_list, axis=1)  # [B, n_defs, L+1]
-    ids_per_def = jnp.stack(ids_list, axis=1)  # [B, n_defs, L]
-    is_start_vals = jnp.stack(is_start_list, axis=1)  # [B, n_defs, L+1]
-    is_end_vals = jnp.stack(is_end_list, axis=1)
+    # substr ids on transitions (lib.rs:825-845); 0 beyond the input.
+    sub_all = arrays["substr_id_table"].reshape(-1)  # [n_defs*S*S]
+    sub_off = (jnp.arange(n_defs, dtype=jnp.int32) * (S * S))[None, :, None]
+    prev = raw[:, :, :L]
+    nxt = raw[:, :, 1:]
+    ids_per_def = jnp.take(sub_all, sub_off + prev * S + nxt) * enable[:, None, :]
+
+    # start/end flags (lib.rs:847-888). is_start[i] uses (ids[i], state[i]);
+    # is_end is right-shifted: is_end[i] uses (ids[i-1], state[i]). The
+    # membership tables are global across defs already.
+    st_flat = arrays["is_start_table"].reshape(-1)
+    en_flat = arrays["is_end_table"].reshape(-1)
+    Ssub = arrays["is_start_table"].shape[-1]
+    is_start_body = jnp.take(st_flat, ids_per_def * Ssub + prev).astype(jnp.int32)
+    is_start_vals = jnp.concatenate(
+        [is_start_body, jnp.zeros((B, n_defs, 1), jnp.int32)], axis=2
+    )  # trailing false (lib.rs:869)
+    is_end_body = jnp.take(en_flat, ids_per_def * Ssub + nxt).astype(jnp.int32)
+    is_end_vals = jnp.concatenate(
+        [jnp.zeros((B, n_defs, 1), jnp.int32), is_end_body], axis=2
+    )  # leading false (lib.rs:882)
+
+    final_state = jnp.take_along_axis(
+        raw, lengths[:, None, None].repeat(n_defs, 1), axis=2
+    )[:, :, 0]
+    accepted_arr = final_state == arrays["accepted_states"][None, :]
+    # DEAD is absorbing, so deadness at the final state == any dead.
+    has_dead_arr = final_state == arrays["dead_states"][None, :]
 
     substr_id_sum = ids_per_def.sum(axis=1)  # [B, L]
     is_start_sum = is_start_vals.sum(axis=1)  # [B, L+1]
@@ -186,8 +193,8 @@ def _match_core(arrays: dict, n_defs: int, chars: jnp.ndarray, lengths: jnp.ndar
     masked_characters = mask * chars_i32
     all_substr_ids = mask * substr_id_sum
 
-    accepted = jnp.stack(accepted_list, axis=1)  # [B, n_defs]
-    has_dead = jnp.stack(has_dead_list, axis=1)
+    accepted = accepted_arr  # [B, n_defs]
+    has_dead = has_dead_arr
     match_ok = accepted.all(axis=1) & (~has_dead.any(axis=1))
 
     return dict(

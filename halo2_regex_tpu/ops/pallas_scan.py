@@ -167,6 +167,32 @@ class PallasMatcher:
                 ctabs[d, : ctab.shape[0]] = ctab
         self.class_info = class_info
 
+        # Multi-def lane packing: when every def class-compresses and all
+        # defs' packed tables fit the lane budget side by side, fuse them
+        # into ONE matmul per byte against a joint-class table. Joint
+        # classes = unique rows of the def-concatenated packed tables.
+        self.fuse_defs = (
+            n_defs > 1
+            and not raw_needed
+            and n_defs * 4 * S <= 512
+        )
+        joint_tab = None
+        joint_cls0 = 0
+        joint_terms: List[Tuple[int, int]] = []
+        if self.fuse_defs:
+            concat = packed.transpose(1, 0, 2).reshape(256, n_defs * 4 * S)
+            joint_class_of, joint_tab = byte_classes(concat)
+            joint_cls0, joint_terms = class_boundaries(joint_class_of)
+            if len(joint_terms) > max_boundary_terms:
+                self.fuse_defs = False
+                joint_tab = None
+        if joint_tab is not None:
+            kj_pad = _round_up(max(joint_tab.shape[0], 8), 8)
+            jt = np.zeros((kj_pad, n_defs * 4 * S), np.float32)
+            jt[: joint_tab.shape[0]] = joint_tab
+            joint_tab = jt
+        self.joint_k = 0 if joint_tab is None else joint_tab.shape[0]
+
         firsts = [int(model.first_states[d]) for d in range(n_defs)]
 
         def fwd_kernel(
@@ -323,6 +349,9 @@ class PallasMatcher:
 
         tables_c = jnp.asarray(ctabs)
         tables_raw = jnp.asarray(packed if raw_needed else packed[:, :1, :])
+        tables_joint = jnp.asarray(
+            joint_tab if joint_tab is not None else np.zeros((8, 8), np.float32)
+        )
 
         def make_fwd(B):
             n_b = B // TB
@@ -385,6 +414,7 @@ class PallasMatcher:
         def flat_kernel(
             ctab_ref,
             raw_ref,
+            jtab_ref,  # [kj_pad, n_defs*4S] f32 (dummy when not fused)
             chars_ref,  # [L, TB]
             lengths_ref,  # [1, TB]
             states_ref,  # [n_defs, L, TB]
@@ -397,7 +427,56 @@ class PallasMatcher:
             """1D-grid variant: whole sequence resident, no scratch — the
             structure this Mosaic build compiles (probe_tpu7)."""
             lengths = lengths_ref[0, :]
-            for d in range(n_defs):
+            if self.fuse_defs:
+                # One matmul per byte serves every def: joint-class onehot
+                # against the lane-concatenated tables.
+                jt_bf = jtab_ref[:].astype(jnp.bfloat16)
+                kj = jt_bf.shape[0]
+
+                def body_fused(i, ss):
+                    c = chars_ref[i, :]
+                    cls = jnp.full((TB,), joint_cls0, jnp.int32)
+                    for b_r, delta in joint_terms:
+                        cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                    onehot = (
+                        cls[:, None]
+                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kj), 1)
+                    ).astype(jnp.bfloat16)
+                    cols = jnp.dot(
+                        onehot, jt_bf, preferred_element_type=jnp.float32
+                    ).astype(jnp.int32)  # [TB, n_defs*4S]
+                    en = (i < lengths).astype(jnp.int32)
+                    new_ss = []
+                    for d in range(n_defs):
+                        s = ss[d]
+                        off = d * 4 * S
+                        sel = (
+                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                            == s[:, None]
+                        ).astype(jnp.int32)
+
+                        def pick(kk, off=off, sel=sel):
+                            lo = off + kk * S
+                            return jnp.sum(cols[:, lo : lo + S] * sel, axis=-1)
+
+                        nxt = pick(0)
+                        states_ref[d, i, :] = nxt
+                        ids_ref[d, i, :] = pick(1) * en
+                        start_ref[d, i, :] = pick(2) * en
+                        endf_ref[d, i, :] = pick(3) * en
+                        new_ss.append(nxt)
+                    return tuple(new_ss)
+
+                jax.lax.fori_loop(
+                    0,
+                    L,
+                    body_fused,
+                    tuple(jnp.full((TB,), f, jnp.int32) for f in firsts),
+                )
+                def_range = []
+            else:
+                def_range = list(range(n_defs))
+            for d in def_range:
                 use_classes, cls0, terms, ctab = class_info[d]
                 t_bf = (ctab_ref[d] if use_classes else raw_ref[d]).astype(
                     jnp.bfloat16
@@ -500,6 +579,10 @@ class PallasMatcher:
                         tables_raw.shape, lambda b: (0, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
+                    pl.BlockSpec(
+                        tables_joint.shape, lambda b: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
                     pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
                 ],
@@ -538,7 +621,7 @@ class PallasMatcher:
             if grid_mode == "batch":
                 states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm = make_flat(
                     B
-                )(tables_c, tables_raw, ctm, lengths[None, :])
+                )(tables_c, tables_raw, tables_joint, ctm, lengths[None, :])
             else:
                 states_tm, ids_tm, start_tm, endf_tm, fwd_tm = make_fwd(B)(
                     tables_c, tables_raw, ctm, lengths[None, :]

@@ -149,3 +149,21 @@ def test_pallas_chunked_mode(model3):
         oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
         row = res.map(lambda a: np.asarray(a)[i])
         assert_same(row, oracle)
+
+
+def test_pallas_fused_defs_mode(model12):
+    """Multi-def lane packing: one joint-class matmul serves all defs."""
+    matcher = PallasMatcher(model12, batch_tile=8, interpret=True)
+    assert matcher.fuse_defs, "two small defs should fuse"
+    strings = [
+        b"email was meant for @y. Also for x.",
+        b"email was meant for @yajk. Also for swq.",
+        b"email was meant for @@",
+        b"",
+    ]
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)

@@ -33,7 +33,6 @@ def main() -> int:
 
     from halo2_regex_tpu.models import zoo  # noqa: E402
     from halo2_regex_tpu.utils.profiling import (  # noqa: E402
-        benchmark,
         scan_roofline_bytes_per_sec,
     )
 
@@ -48,10 +47,12 @@ def main() -> int:
     chars = np.zeros((B, L), np.uint8)
     lengths = np.zeros((B,), np.int32)
     domains = [b"gmail.com", b"x.yz", b"sub.domain-x.org"]
+    alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", np.uint8)
+    alpha_sp = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", np.uint8)
     for i in range(B):
-        name = bytes(rng.choice(list(b"abcdefghijklmnopqrstuvwxyz"), size=8))
+        name = rng.choice(alpha, size=8).tobytes()
         filler_len = int(rng.integers(0, L - 96))
-        filler = bytes(rng.choice(list(b"abcdefghijklmnopqrstuvwxyz "), size=filler_len))
+        filler = rng.choice(alpha_sp, size=filler_len).tobytes()
         s = filler + b"\r\nfrom:" + name + b"@" + domains[i % 3] + b"\r\n"
         chars[i, : len(s)] = bytearray(s)
         lengths[i] = len(s)
@@ -59,27 +60,55 @@ def main() -> int:
     # Pick the fastest available backend for the fused scan; a Pallas
     # compile failure (e.g. a Mosaic crash on an exotic config) falls back
     # to the XLA path rather than killing the bench.
-    chars_j = jax.numpy.asarray(chars)
-    lengths_j = jax.numpy.asarray(lengths)
-    matcher = None
+    import jax.numpy as jnp
+
+    chars_j = jnp.asarray(chars)
+    lengths_j = jnp.asarray(lengths)
+    run_one = None
     backend_name = "xla"
     if jax.devices()[0].platform == "tpu" and not os.environ.get("H2R_BENCH_NO_PALLAS"):
         try:
             from halo2_regex_tpu.ops.pallas_scan import PallasMatcher  # noqa: E402
 
             matcher = PallasMatcher(model)
-            matcher(chars_j[:matcher.batch_tile], lengths_j[:matcher.batch_tile])
+            jax.block_until_ready(matcher(chars_j, lengths_j).mask)
+
+            def run_one(c, m=matcher):
+                return m._run(c, lengths_j)["mask"]
+
             backend_name = "pallas"
         except Exception as e:
             print(f"# pallas backend unavailable ({type(e).__name__}); xla fallback",
                   file=sys.stderr)
-            matcher = None
-    if matcher is None:
-        from halo2_regex_tpu.ops.scan_jax import BatchMatcher  # noqa: E402
+            run_one = None
+    if run_one is None:
+        from halo2_regex_tpu.ops.scan_jax import _match_core, _model_arrays  # noqa: E402
 
-        matcher = BatchMatcher(model)
+        arrays = _model_arrays(model)
+        n_defs = model.n_defs
 
-    sec = benchmark(matcher, chars_j, lengths_j, iters=iters, warmup=2)
+        def run_one(c):
+            return _match_core(arrays, n_defs, c, lengths_j)["mask"]
+
+    # Per-iteration device time via dependency chaining — on relayed
+    # devices block_until_ready is unreliable and each host fetch costs a
+    # fixed ~30ms round trip (docs/PERF.md), so K iterations run inside
+    # one jit and the K-slope is the true per-batch time.
+    from halo2_regex_tpu.utils.profiling import benchmark_chained  # noqa: E402
+
+    def make_chained(K):
+        @jax.jit
+        def f(c):
+            m = None
+            for _ in range(K):
+                m = run_one(c)
+                dep = (m[0, 0] & 1).astype(jnp.uint8)
+                c = c ^ dep  # data dependency, same work content
+            return m
+
+        return f
+
+    sec = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
     value = B * L / sec
 
     target = 0.8 * scan_roofline_bytes_per_sec()

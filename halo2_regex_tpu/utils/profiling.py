@@ -71,7 +71,9 @@ def _fetch(out):
 
 def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
     """Seconds per call, synchronized by fetching a result element each
-    iteration (see _fetch)."""
+    iteration (see _fetch). NOTE: on relayed devices each fetch costs a
+    fixed round trip (~30 ms here) — use :func:`benchmark_chained` for
+    per-call device time."""
     for _ in range(warmup):
         out = fn(*args)
         _fetch(out)
@@ -80,3 +82,26 @@ def benchmark(fn: Callable, *args, iters: int = 10, warmup: int = 1) -> float:
         out = fn(*args)
         _fetch(out)
     return (time.perf_counter() - t0) / iters
+
+
+def benchmark_chained(
+    make_chained: Callable[[int], Callable], args, ks=(1, 8), warmup: int = 1
+) -> float:
+    """Per-iteration device time via dependency chaining.
+
+    ``make_chained(K)`` must return a jitted fn running K data-dependent
+    iterations of the workload in ONE call. Timing t(K_hi) - t(K_lo)
+    divided by (K_hi - K_lo) cancels both the host round-trip latency and
+    the per-call dispatch cost (neither can be measured away on a relayed
+    device whose block_until_ready does not block)."""
+    k_lo, k_hi = ks
+    f_lo, f_hi = make_chained(k_lo), make_chained(k_hi)
+    for f in (f_lo, f_hi):
+        for _ in range(warmup):
+            _fetch(f(*args))
+    def t(f, n=5):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _fetch(f(*args))
+        return (time.perf_counter() - t0) / n
+    return max((t(f_hi) - t(f_lo)) / (k_hi - k_lo), 1e-9)

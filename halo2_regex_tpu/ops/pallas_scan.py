@@ -411,6 +411,12 @@ class PallasMatcher:
                 interpret=interpret,
             )
 
+        SLAB = min(32, L)
+        while L % SLAB != 0:
+            SLAB //= 2
+        n_slab = L // SLAB
+        self.slab = SLAB
+
         def flat_kernel(
             ctab_ref,
             raw_ref,
@@ -424,146 +430,174 @@ class PallasMatcher:
             fwd_ref,  # [L, TB]
             bwd_ref,  # [L, TB]
         ):
-            """1D-grid variant: whole sequence resident, no scratch — the
-            structure this Mosaic build compiles (probe_tpu7)."""
+            """1D-grid slab kernel. Per SLAB positions: ONE batched MXU
+            matmul computes the packed columns for every (position, string)
+            — the matmul depends only on the byte, so it sits OFF the
+            sequential chain; the recurrence itself is SLAB statically
+            unrolled steps of pure-VPU one-hot selects. The forward mask
+            FSM rides the same unroll; the backward FSM is a second
+            reversed slab pass over the emitted columns."""
             lengths = lengths_ref[0, :]
-            if self.fuse_defs:
-                # One matmul per byte serves every def: joint-class onehot
-                # against the lane-concatenated tables.
-                jt_bf = jtab_ref[:].astype(jnp.bfloat16)
-                kj = jt_bf.shape[0]
 
-                def body_fused(i, ss):
-                    c = chars_ref[i, :]
-                    cls = jnp.full((TB,), joint_cls0, jnp.int32)
-                    for b_r, delta in joint_terms:
-                        cls = cls + delta * (c >= b_r).astype(jnp.int32)
-                    onehot = (
-                        cls[:, None]
-                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kj), 1)
-                    ).astype(jnp.bfloat16)
-                    cols = jnp.dot(
-                        onehot, jt_bf, preferred_element_type=jnp.float32
-                    ).astype(jnp.int32)  # [TB, n_defs*4S]
-                    en = (i < lengths).astype(jnp.int32)
-                    new_ss = []
-                    for d in range(n_defs):
-                        s = ss[d]
-                        off = d * 4 * S
-                        sel = (
-                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
-                        ).astype(jnp.int32)
+            def class_slab(c_slab, cls0, terms, use_classes):
+                if not use_classes:
+                    return c_slab
+                cls = jnp.full((SLAB, TB), cls0, jnp.int32)
+                for b_r, delta in terms:
+                    cls = cls + delta * (c_slab >= b_r).astype(jnp.int32)
+                return cls
 
-                        def pick(kk, off=off, sel=sel):
-                            lo = off + kk * S
-                            return jnp.sum(cols[:, lo : lo + S] * sel, axis=-1)
+            def cols_slab(t_bf, kdim, cls):
+                flat = cls.reshape(SLAB * TB)
+                onehot = (
+                    flat[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (SLAB * TB, kdim), 1)
+                ).astype(jnp.bfloat16)
+                cols = jnp.dot(
+                    onehot, t_bf, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+                return cols.reshape(SLAB, TB, t_bf.shape[1])
 
-                        nxt = pick(0)
-                        states_ref[d, i, :] = nxt
-                        ids_ref[d, i, :] = pick(1) * en
-                        start_ref[d, i, :] = pick(2) * en
-                        endf_ref[d, i, :] = pick(3) * en
-                        new_ss.append(nxt)
-                    return tuple(new_ss)
-
-                jax.lax.fori_loop(
-                    0,
-                    L,
-                    body_fused,
-                    tuple(jnp.full((TB,), f, jnp.int32) for f in firsts),
-                )
-                def_range = []
-            else:
-                def_range = list(range(n_defs))
-            for d in def_range:
-                use_classes, cls0, terms, ctab = class_info[d]
-                t_bf = (ctab_ref[d] if use_classes else raw_ref[d]).astype(
-                    jnp.bfloat16
-                )
-                kdim = t_bf.shape[0]
-
-                def body(i, s, d=d, t_bf=t_bf, use_classes=use_classes,
-                         cls0=cls0, terms=terms, kdim=kdim):
-                    c = chars_ref[i, :]
-                    if use_classes:
-                        cls = jnp.full((TB,), cls0, jnp.int32)
-                        for b_r, delta in terms:
-                            cls = cls + delta * (c >= b_r).astype(jnp.int32)
-                    else:
-                        cls = c
-                    onehot = (
-                        cls[:, None]
-                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                    ).astype(jnp.bfloat16)
-                    cols = jnp.dot(
-                        onehot, t_bf, preferred_element_type=jnp.float32
+            def step_pick(cols_row, s, off):
+                # cols_row [TB, W]; returns (nxt, id, start, endf)
+                if extract == "select":
+                    sel = (
+                        jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                        == s[:, None]
                     ).astype(jnp.int32)
-                    en = (i < lengths).astype(jnp.int32)
-                    if extract == "select":
-                        sel = (
-                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
-                        ).astype(jnp.int32)
 
-                        def pick(kk):
-                            return jnp.sum(
-                                cols[:, kk * S : (kk + 1) * S] * sel, axis=-1
-                            )
+                    def pick(kk):
+                        lo = off + kk * S
+                        return jnp.sum(cols_row[:, lo : lo + S] * sel, axis=-1)
 
-                    else:
-                        idx = jnp.broadcast_to(s[:, None], (TB, S))
+                else:
+                    idx = jnp.broadcast_to(s[:, None], (TB, S))
 
-                        def pick(kk):
-                            return jnp.take_along_axis(
-                                cols[:, kk * S : (kk + 1) * S], idx, axis=-1
-                            )[:, 0]
+                    def pick(kk):
+                        lo = off + kk * S
+                        return jnp.take_along_axis(
+                            cols_row[:, lo : lo + S], idx, axis=-1
+                        )[:, 0]
 
-                    nxt = pick(0)
-                    states_ref[d, i, :] = nxt
-                    ids_ref[d, i, :] = pick(1) * en
-                    start_ref[d, i, :] = pick(2) * en
-                    endf_ref[d, i, :] = pick(3) * en
-                    return nxt
-
-                jax.lax.fori_loop(
-                    0, L, body, jnp.full((TB,), firsts[d], jnp.int32)
-                )
-
-            def sum_over_defs(ref, i):
-                acc = ref[0, i, :]
-                for d in range(1, n_defs):
-                    acc = acc + ref[d, i, :]
-                return acc
+                return pick(0), pick(1), pick(2), pick(3)
 
             zero = jnp.zeros((TB,), jnp.int32)
 
-            def fwd_body(i, carry):
-                last, prev_ids, prev_endf = carry
-                cur_ids = sum_over_defs(ids_ref, i)
-                st = sum_over_defs(start_ref, i)
-                changed = (prev_ids != cur_ids).astype(jnp.int32)
-                is_set = (st > 0) & (changed > 0)
-                is_reset = (st == 0) & (prev_endf > 0) & (changed > 0)
-                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                fwd_ref[i, :] = new
-                return new, cur_ids, sum_over_defs(endf_ref, i)
+            def slab_body(t, carry):
+                ss = carry[:n_defs]  # per-def states [TB]
+                last, prev_ids, prev_endf = carry[n_defs:]
+                base = t * SLAB
+                c_slab = chars_ref[pl.ds(base, SLAB), :]  # [SLAB, TB]
+                pos = base + jax.lax.broadcasted_iota(jnp.int32, (SLAB, TB), 0)
+                en_slab = (pos < lengths[None, :]).astype(jnp.int32)
 
-            jax.lax.fori_loop(0, L, fwd_body, (zero, zero, zero))
+                if self.fuse_defs:
+                    cls = class_slab(c_slab, joint_cls0, joint_terms, True)
+                    cols = cols_slab(
+                        jtab_ref[:].astype(jnp.bfloat16), self.joint_k, cls
+                    )  # [SLAB, TB, n_defs*4S]
+                    cols_per_def = [cols] * n_defs
+                    offs = [d * 4 * S for d in range(n_defs)]
+                else:
+                    cols_per_def = []
+                    offs = []
+                    for d in range(n_defs):
+                        use_classes, cls0, terms, _ = class_info[d]
+                        t_bf = (
+                            ctab_ref[d] if use_classes else raw_ref[d]
+                        ).astype(jnp.bfloat16)
+                        cls = class_slab(c_slab, cls0, terms, use_classes)
+                        cols_per_def.append(cols_slab(t_bf, t_bf.shape[0], cls))
+                        offs.append(0)
 
-            def bwd_body(i, carry):
+                new_ss = list(ss)
+                ids_js = []  # per j: summed ids
+                start_js = []
+                endf_js = []
+                outs = [
+                    {"nxt": [], "ids": [], "start": [], "endf": []}
+                    for _ in range(n_defs)
+                ]
+                for j in range(SLAB):
+                    ids_sum_j = zero
+                    start_sum_j = zero
+                    endf_sum_j = zero
+                    for d in range(n_defs):
+                        nxt, idv, stv, env = step_pick(
+                            cols_per_def[d][j], new_ss[d], offs[d]
+                        )
+                        en = en_slab[j]
+                        idv = idv * en
+                        stv = stv * en
+                        env = env * en
+                        outs[d]["nxt"].append(nxt)
+                        outs[d]["ids"].append(idv)
+                        outs[d]["start"].append(stv)
+                        outs[d]["endf"].append(env)
+                        new_ss[d] = nxt
+                        ids_sum_j = ids_sum_j + idv
+                        start_sum_j = start_sum_j + stv
+                        endf_sum_j = endf_sum_j + env
+                    ids_js.append(ids_sum_j)
+                    start_js.append(start_sum_j)
+                    endf_js.append(endf_sum_j)
+
+                for d in range(n_defs):
+                    states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs[d]["nxt"], 0)
+                    ids_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs[d]["ids"], 0)
+                    start_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs[d]["start"], 0)
+                    endf_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs[d]["endf"], 0)
+
+                # forward mask FSM on the same unroll (lib.rs:598-645)
+                fwd_js = []
+                for j in range(SLAB):
+                    cur_ids = ids_js[j]
+                    changed = (prev_ids != cur_ids).astype(jnp.int32)
+                    st = start_js[j]
+                    is_set = (st > 0) & (changed > 0)
+                    is_reset = (st == 0) & (prev_endf > 0) & (changed > 0)
+                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                    fwd_js.append(last)
+                    prev_ids = cur_ids
+                    prev_endf = endf_js[j]
+                fwd_ref[pl.ds(base, SLAB), :] = jnp.stack(fwd_js, 0)
+
+                return tuple(new_ss) + (last, prev_ids, prev_endf)
+
+            init = tuple(jnp.full((TB,), f, jnp.int32) for f in firsts) + (
+                zero,
+                zero,
+                zero,
+            )
+            jax.lax.fori_loop(0, n_slab, slab_body, init)
+
+            # backward mask FSM: reversed slab pass over the emitted columns
+            # (lib.rs:663-714)
+            def bwd_slab(t, carry):
                 last, next_ids, next_start = carry
-                j = L - 1 - i
-                cur_ids = sum_over_defs(ids_ref, j)
-                ef = sum_over_defs(endf_ref, j)
-                changed = (next_ids != cur_ids).astype(jnp.int32)
-                is_set = (ef > 0) & (changed > 0)
-                is_reset = (ef == 0) & (next_start > 0) & (changed > 0)
-                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                bwd_ref[j, :] = new
-                return new, cur_ids, sum_over_defs(start_ref, j)
+                base = (n_slab - 1 - t) * SLAB
+                ids_slab = ids_ref[0, pl.ds(base, SLAB), :]
+                start_slab = start_ref[0, pl.ds(base, SLAB), :]
+                endf_slab = endf_ref[0, pl.ds(base, SLAB), :]
+                for d in range(1, n_defs):
+                    ids_slab = ids_slab + ids_ref[d, pl.ds(base, SLAB), :]
+                    start_slab = start_slab + start_ref[d, pl.ds(base, SLAB), :]
+                    endf_slab = endf_slab + endf_ref[d, pl.ds(base, SLAB), :]
+                bwd_js = [None] * SLAB
+                for j in range(SLAB - 1, -1, -1):
+                    cur_ids = ids_slab[j]
+                    ef = endf_slab[j]  # is_end_sum[j+1]
+                    changed = (next_ids != cur_ids).astype(jnp.int32)
+                    is_set = (ef > 0) & (changed > 0)
+                    is_reset = (ef == 0) & (next_start > 0) & (changed > 0)
+                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
+                    bwd_js[j] = last
+                    next_ids = cur_ids
+                    next_start = start_slab[j]
+                bwd_ref[pl.ds(base, SLAB), :] = jnp.stack(bwd_js, 0)
+                return last, next_ids, next_start
 
-            jax.lax.fori_loop(0, L, bwd_body, (zero, zero, zero))
+            jax.lax.fori_loop(0, n_slab, bwd_slab, (zero, zero, zero))
 
         def make_flat(B):
             n_b = B // TB

@@ -38,7 +38,9 @@ def main() -> int:
 
     B = int(os.environ.get("H2R_BENCH_BATCH", 4096))
     L = int(os.environ.get("H2R_BENCH_LEN", 1024))
-    iters = int(os.environ.get("H2R_BENCH_ITERS", 20))
+    # Chained-iteration count: each K value is a separate jit compile and
+    # remote compiles cost minutes on the relay — keep K small.
+    iters = int(os.environ.get("H2R_BENCH_ITERS", 4))
 
     model = zoo.email_headers_model(max_chars_size=L, headers=("from",))
 
@@ -51,7 +53,7 @@ def main() -> int:
     alpha_sp = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", np.uint8)
     for i in range(B):
         name = rng.choice(alpha, size=8).tobytes()
-        filler_len = int(rng.integers(0, L - 96))
+        filler_len = int(rng.integers(0, max(1, L - 96)))
         filler = rng.choice(alpha_sp, size=filler_len).tobytes()
         s = filler + b"\r\nfrom:" + name + b"@" + domains[i % 3] + b"\r\n"
         chars[i, : len(s)] = bytearray(s)
@@ -64,24 +66,22 @@ def main() -> int:
 
     chars_j = jnp.asarray(chars)
     lengths_j = jnp.asarray(lengths)
-    run_one = None
-    backend_name = "xla"
-    if jax.devices()[0].platform == "tpu" and not os.environ.get("H2R_BENCH_NO_PALLAS"):
-        try:
-            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher  # noqa: E402
+    def chained_of(run_one):
+        def make_chained(K):
+            @jax.jit
+            def f(c):
+                m = None
+                for _ in range(K):
+                    m = run_one(c)
+                    dep = (m[0, 0] & 1).astype(jnp.uint8)
+                    c = c ^ dep  # data dependency, same work content
+                return m
 
-            matcher = PallasMatcher(model)
-            jax.block_until_ready(matcher(chars_j, lengths_j).mask)
+            return f
 
-            def run_one(c, m=matcher):
-                return m._run(c, lengths_j)["mask"]
+        return make_chained
 
-            backend_name = "pallas"
-        except Exception as e:
-            print(f"# pallas backend unavailable ({type(e).__name__}); xla fallback",
-                  file=sys.stderr)
-            run_one = None
-    if run_one is None:
+    def xla_run_one():
         from halo2_regex_tpu.ops.scan_jax import _match_core, _model_arrays  # noqa: E402
 
         arrays = _model_arrays(model)
@@ -90,23 +90,35 @@ def main() -> int:
         def run_one(c):
             return _match_core(arrays, n_defs, c, lengths_j)["mask"]
 
+        return run_one
+
+    make_chained = None
+    backend_name = "xla"
+    if jax.devices()[0].platform == "tpu" and not os.environ.get("H2R_BENCH_NO_PALLAS"):
+        try:
+            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher  # noqa: E402
+
+            matcher = PallasMatcher(model)
+
+            def run_one(c, m=matcher):
+                return m._run(c, lengths_j)["mask"]
+
+            mk = chained_of(run_one)
+            # first compile doubles as the does-pallas-compile check
+            np.asarray(mk(1)(chars_j).ravel()[:1])
+            make_chained = mk
+            backend_name = "pallas"
+        except Exception as e:
+            print(f"# pallas backend unavailable ({type(e).__name__}); xla fallback",
+                  file=sys.stderr)
+    if make_chained is None:
+        make_chained = chained_of(xla_run_one())
+
     # Per-iteration device time via dependency chaining — on relayed
     # devices block_until_ready is unreliable and each host fetch costs a
     # fixed ~30ms round trip (docs/PERF.md), so K iterations run inside
     # one jit and the K-slope is the true per-batch time.
     from halo2_regex_tpu.utils.profiling import benchmark_chained  # noqa: E402
-
-    def make_chained(K):
-        @jax.jit
-        def f(c):
-            m = None
-            for _ in range(K):
-                m = run_one(c)
-                dep = (m[0, 0] & 1).astype(jnp.uint8)
-                c = c ^ dep  # data dependency, same work content
-            return m
-
-        return f
 
     sec = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
     value = B * L / sec

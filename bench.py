@@ -120,6 +120,11 @@ def main() -> int:
     # one jit and the K-slope is the true per-batch time.
     from halo2_regex_tpu.utils.profiling import benchmark_chained  # noqa: E402
 
+    # Each K is another multi-minute remote compile; shrink the ladder when
+    # the budget is already half spent.
+    budget = float(os.environ.get("H2R_BENCH_BUDGET_SEC", 2400))
+    if time.time() - t_start > budget / 2:
+        iters = 1
     sec = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
     value = B * L / sec
 

@@ -122,6 +122,7 @@ class PallasMatcher:
         max_boundary_terms: int = 96,
         extract: str = "select",  # "select" | "take_along"
         grid_mode: str = "batch",  # "batch" (1D, whole L) | "chunked" (2D)
+        slab: int = 8,  # positions per batched matmul + static unroll
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
@@ -411,7 +412,7 @@ class PallasMatcher:
                 interpret=interpret,
             )
 
-        SLAB = min(32, L)
+        SLAB = min(slab, L)
         while L % SLAB != 0:
             SLAB //= 2
         n_slab = L // SLAB

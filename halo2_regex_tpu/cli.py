@@ -98,6 +98,40 @@ def _cmd_match(args) -> int:
     return 1 if (args.strict and n_bad) else 0
 
 
+def _cmd_explain(args) -> int:
+    """Per-byte trace of a match: state sequence, substr ids, flags and
+    masks — the debugging view of the witness columns."""
+    import numpy as np
+
+    from .models.compiled import CompiledRegexModel
+    from .ops.reference import match_substrs
+
+    model = CompiledRegexModel.load(args.model)
+    s = args.string.encode("latin-1")
+    result = match_substrs(model.regex_defs, s, model.max_chars_size)
+    states = np.asarray(result.states)
+    print(f"input: {args.string!r}")
+    print(f"match_ok: {bool(result.match_ok)}  accepted per def: "
+          f"{np.asarray(result.accepted).tolist()}")
+    header = "pos  char  " + " ".join(f"st{d}" for d in range(model.n_defs)) + (
+        "  id  start end  fwd bwd mask"
+    )
+    print(header)
+    for i in range(len(s)):
+        ch = chr(s[i]) if 32 <= s[i] < 127 else f"\\x{s[i]:02x}"
+        sts = " ".join(f"{states[d, i + 1]:3d}" for d in range(model.n_defs))
+        print(
+            f"{i:3d}  {ch:>4}  {sts}  {int(result.substr_id_sum[i]):2d}  "
+            f"{int(result.is_start_sum[i]):4d} {int(result.is_end_sum[i + 1]):3d}  "
+            f"{int(result.fwd_mask[i]):3d} {int(result.bwd_mask[i]):3d} "
+            f"{int(result.mask[i]):3d}"
+        )
+    from .ops.reference import extract_substrings
+
+    print("extracted:", extract_substrings(result))
+    return 0
+
+
 def _cmd_scan(args) -> int:
     """Stream a newline-delimited corpus through the matcher; print summary
     statistics (and optionally per-match extractions)."""
@@ -214,6 +248,11 @@ def main(argv=None) -> int:
     p.add_argument("--strict", action="store_true", help="exit 1 if any input fails")
     p.add_argument("strings", nargs="*")
     p.set_defaults(fn=_cmd_match)
+
+    p = sub.add_parser("explain", help="per-byte trace of one match")
+    p.add_argument("--model", required=True)
+    p.add_argument("string")
+    p.set_defaults(fn=_cmd_explain)
 
     p = sub.add_parser("scan", help="stream a corpus; print match statistics")
     p.add_argument("--model", required=True)

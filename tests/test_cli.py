@@ -91,3 +91,14 @@ def test_match_lines_file(tmp_path, config_path, capsys):
     assert len(lines) == 2
     assert lines[0]["status"] == "MATCH"
     assert lines[1]["status"] == "NO-MATCH"
+
+
+def test_explain(tmp_path, config_path, capsys):
+    model_path = tmp_path / "model.npz"
+    main(["compile", str(config_path), "--max-chars-size", "64", "-o", str(model_path)])
+    capsys.readouterr()
+    rc = main(["explain", "--model", str(model_path), "email was meant for @y. Also for x."])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "match_ok: True" in out
+    assert "extracted: [(21, 'y', 1)" in out

@@ -35,6 +35,79 @@ from .result import RegexResult
 from .tables import build_all_tables
 
 
+def _encode(*cols) -> np.ndarray:
+    """Pack lookup-row columns into one int64 key (each value < 2^20)."""
+    acc = np.zeros_like(np.asarray(cols[0], np.int64))
+    for c in cols:
+        acc = (acc << 20) | np.asarray(c, np.int64)
+    return acc
+
+
+def check_witness_batch(
+    regex_defs: List[RegexDefs], result: RegexResult
+) -> np.ndarray:
+    """Vectorized verification of a BATCHED witness: returns a bool array
+    [B] (True = every gate/lookup/acceptance constraint holds for that
+    row). Same semantics as :func:`check_witness`, suitable for large L
+    and corpus-scale batches."""
+    enable = np.asarray(result.all_enable_flags)
+    chars = np.asarray(result.all_characters)
+    states = np.asarray(result.states)
+    ids = np.asarray(result.substr_ids_per_def)
+    start_enable = np.asarray(result.start_enable)
+    end_enable = np.asarray(result.end_enable)
+    squeeze = enable.ndim == 1
+    if squeeze:
+        enable, chars = enable[None], chars[None]
+        states, ids = states[None], ids[None]
+        start_enable, end_enable = start_enable[None], end_enable[None]
+    B, mx = enable.shape
+    ok = np.ones(B, bool)
+
+    # gates: boolean and non-increasing enables
+    ok &= np.isin(enable, (0, 1)).all(axis=1)
+    ok &= (np.diff(enable, axis=1) <= 0).all(axis=1)
+
+    tables = build_all_tables(regex_defs)
+    for d, defs in enumerate(regex_defs):
+        dummy = defs.allstr.largest_state_val + 1
+        trans, ends = tables[d]
+        # gate (i): first-row state
+        ok &= (enable[:, 0] == 0) | (states[:, d, 0] == defs.allstr.first_state_val)
+
+        # lookup (iii)
+        en = enable
+        keys = _encode(
+            en * chars,
+            en * states[:, d, :mx] + (1 - en) * dummy,
+            en * states[:, d, 1:] + (1 - en) * dummy,
+            en * ids[:, d],
+        )
+        table_keys = _encode(
+            trans.characters, trans.cur_states, trans.next_states, trans.substr_ids
+        )
+        ok &= np.isin(keys, table_keys).all(axis=1)
+
+        # lookups (iv)/(v)
+        se = start_enable[:, d]
+        keys = _encode(se * ids[:, d], se * states[:, d, :mx] + (1 - se) * dummy,
+                       np.full_like(se, dummy))
+        end_keys = _encode(ends.substr_ids, ends.start_states, ends.end_states)
+        ok &= np.isin(keys, end_keys).all(axis=1)
+        ee = end_enable[:, d]
+        keys = _encode(ee * ids[:, d], np.full_like(ee, dummy),
+                       ee * states[:, d, 1:] + (1 - ee) * dummy)
+        ok &= np.isin(keys, end_keys).all(axis=1)
+
+        # acceptance at every enable boundary
+        pre = np.concatenate([np.ones((B, 1), enable.dtype), enable], axis=1)
+        cur = np.concatenate([enable, np.zeros((B, 1), enable.dtype)], axis=1)
+        boundary = (pre - cur) == 1
+        acc = states[:, d] == defs.allstr.accepted_state_val
+        ok &= (~boundary | acc).all(axis=1)
+    return ok if not squeeze else ok[:1]
+
+
 def check_witness(
     regex_defs: List[RegexDefs], result: RegexResult, max_len_check: bool = True
 ) -> List[str]:

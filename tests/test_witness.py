@@ -145,3 +145,33 @@ def test_witness_save_load_roundtrip(tmp_path, model3):
         )
     assert verify(defs2, result2)
     assert "t0_characters" in tables and "e0_start_states" in tables
+
+
+def test_batch_checker_agrees_with_detailed(model3, model12):
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher, pack_batch
+    from halo2_regex_tpu.witness.checker import check_witness_batch
+
+    strings = [
+        b"from:alice@gmail.com\r\n",
+        b"dummy\r\nfrom:alice<alice@gmail.com>\r\n",
+        b"from:alice<alicegmail.com>\r\n",
+        b"",
+        b"fromalice<alice@gmail.com>\r\n",
+    ]
+    bm = BatchMatcher(model3)
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = bm(chars, lengths)
+    batch_ok = check_witness_batch(model3.regex_defs, res.to_numpy())
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        assert batch_ok[i] == verify(model3.regex_defs, oracle), (i, s)
+
+
+def test_batch_checker_catches_tampering(model3):
+    s = b"from:alice@gmail.com\r\n"
+    result = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+    from halo2_regex_tpu.witness.checker import check_witness_batch
+
+    assert check_witness_batch(model3.regex_defs, result)[0]
+    result.states[0, 3] += 1
+    assert not check_witness_batch(model3.regex_defs, result)[0]

@@ -449,15 +449,23 @@ class PallasMatcher:
                 return cls
 
             def cols_slab(t_bf, kdim, cls):
-                flat = cls.reshape(SLAB * TB)
-                onehot = (
-                    flat[:, None]
-                    == jax.lax.broadcasted_iota(jnp.int32, (SLAB * TB, kdim), 1)
-                ).astype(jnp.bfloat16)
-                cols = jnp.dot(
-                    onehot, t_bf, preferred_element_type=jnp.float32
-                ).astype(jnp.int32)
-                return cols.reshape(SLAB, TB, t_bf.shape[1])
+                # One independent [TB, k] @ [k, W] matmul per slab position.
+                # They carry no data dependency between them (only the byte
+                # matters), so the MXU pipelines them; a single flattened
+                # [SLAB*TB, k] matmul would be marginally better but Mosaic
+                # cannot shape-cast (SLAB, TB) -> (SLAB*TB,) (probe_tpu13).
+                out = []
+                for j in range(SLAB):
+                    onehot = (
+                        cls[j][:, None]
+                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                    ).astype(jnp.bfloat16)
+                    out.append(
+                        jnp.dot(
+                            onehot, t_bf, preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+                    )
+                return out  # list of SLAB x [TB, W]
 
             def step_pick(cols_row, s, off):
                 # cols_row [TB, W]; returns (nxt, id, start, endf)

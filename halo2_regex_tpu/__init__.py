@@ -46,7 +46,45 @@ from .witness.tables import build_all_tables
 
 __version__ = "0.1.0"
 
+# Heavier / optional-dependency entry points load lazily.
+_LAZY = {
+    "PallasMatcher": ("halo2_regex_tpu.ops.pallas_scan", "PallasMatcher"),
+    "DistributedMatcher": ("halo2_regex_tpu.parallel.data_parallel", "DistributedMatcher"),
+    "SeqShardedMatcher": ("halo2_regex_tpu.parallel.seq_parallel", "SeqShardedMatcher"),
+    "make_mesh": ("halo2_regex_tpu.parallel.mesh", "make_mesh"),
+    "CorpusLoader": ("halo2_regex_tpu.utils.io", "CorpusLoader"),
+    "Counters": ("halo2_regex_tpu.utils.trace", "Counters"),
+    "check_witness_batch": ("halo2_regex_tpu.witness.checker", "check_witness_batch"),
+    "save_witness": ("halo2_regex_tpu.witness.io", "save_witness"),
+    "load_witness": ("halo2_regex_tpu.witness.io", "load_witness"),
+    "zoo": ("halo2_regex_tpu.models.zoo", None),
+    "gen_circom": ("halo2_regex_tpu.compiler.circom", "gen_circom"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        mod = importlib.import_module(module)
+        value = mod if attr is None else getattr(mod, attr)
+        globals()[name] = value
+        return value
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
+    "PallasMatcher",
+    "DistributedMatcher",
+    "SeqShardedMatcher",
+    "make_mesh",
+    "CorpusLoader",
+    "Counters",
+    "check_witness_batch",
+    "save_witness",
+    "load_witness",
+    "zoo",
+    "gen_circom",
     "AllstrRegexDef",
     "BatchMatcher",
     "CompiledRegexModel",

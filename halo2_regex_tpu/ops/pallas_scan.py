@@ -648,6 +648,15 @@ class PallasMatcher:
                     jax.ShapeDtypeStruct((L, B), jnp.int32),
                 ],
                 interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        __import__("os").environ.get(
+                            "H2R_VMEM_LIMIT", 100 * 1024 * 1024
+                        )
+                    )
+                ),
             )
 
         model_arrays = dict(

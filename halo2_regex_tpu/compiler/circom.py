@@ -12,7 +12,6 @@ acceptance, and the is_consecutive + per-substr reveal logic.
 
 from __future__ import annotations
 
-import json
 from pathlib import Path
 from typing import Dict, List, Set, Tuple
 

@@ -9,7 +9,7 @@ SURVEY §8.1). ``body_prefix`` mirrors the reference's
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List
 
 from ..compiler.decomposed import DecomposedRegexConfig
 from ..compiler.format import catch_all_regex_str, catch_all_without_rn_regex_str

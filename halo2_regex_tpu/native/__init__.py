@@ -9,9 +9,7 @@ False and callers fall back to the pure-Python oracle.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
-import sysconfig
 from pathlib import Path
 from typing import List, Optional, Tuple
 

@@ -40,8 +40,7 @@ compiled on TPU).
 
 from __future__ import annotations
 
-import functools
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,6 @@ All outputs are bit-identical to :mod:`halo2_regex_tpu.ops.reference`
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -23,8 +23,6 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()

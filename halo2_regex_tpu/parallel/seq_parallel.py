@@ -25,7 +25,6 @@ are bit-identical to the single-device scan (tests/test_distributed.py).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -122,6 +122,7 @@ class PallasMatcher:
         extract: str = "select",  # "select" | "take_along"
         grid_mode: str = "batch",  # "batch" (1D, whole L) | "chunked" (2D)
         slab: int = 8,  # positions per batched matmul + static unroll
+        compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
@@ -453,7 +454,18 @@ class PallasMatcher:
                 # matters), so the MXU pipelines them; a single flattened
                 # [SLAB*TB, k] matmul would be marginally better but Mosaic
                 # cannot shape-cast (SLAB, TB) -> (SLAB*TB,) (probe_tpu13).
+                # compute="vpu" instead accumulates k masked table rows on
+                # the VPU — no MXU latency in the pipeline, better for tiny k.
                 out = []
+                if compute == "vpu":
+                    t_i32 = t_bf.astype(jnp.int32)
+                    for j in range(SLAB):
+                        acc = jnp.zeros((TB, t_i32.shape[1]), jnp.int32)
+                        for kk in range(kdim):
+                            mask = (cls[j] == kk).astype(jnp.int32)[:, None]
+                            acc = acc + mask * t_i32[kk][None, :]
+                        out.append(acc)
+                    return out
                 for j in range(SLAB):
                     onehot = (
                         cls[j][:, None]

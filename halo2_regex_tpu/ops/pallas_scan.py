@@ -115,7 +115,7 @@ class PallasMatcher:
     def __init__(
         self,
         model: CompiledRegexModel,
-        batch_tile: int = 512,
+        batch_tile: int = 0,  # 0 = auto-size to the VMEM budget
         chunk: int = 256,
         interpret: bool = False,
         max_boundary_terms: int = 96,
@@ -134,11 +134,20 @@ class PallasMatcher:
         from jax.experimental.pallas import tpu as pltpu
 
         self.model = model
-        self.batch_tile = batch_tile
         self.grid_mode = grid_mode
         L = model.max_chars_size
         S = model.s_pad
         n_defs = model.n_defs
+        if not batch_tile:
+            # Auto-size the batch tile: the flat kernel's double-buffered
+            # blocks are ~2*L*4*(4*n_defs+3)*TB bytes and the usable scoped
+            # VMEM tops out near ~56 MB on this part (probe_tpu16: 3-def
+            # TB=512 at ~63 MB fails, 1-def TB=1024 at ~57 MB works).
+            budget = int(float(__import__("os").environ.get(
+                "H2R_VMEM_BUDGET", 56e6)))
+            per_tb = 2 * L * 4 * (4 * n_defs + 3)
+            batch_tile = max(128, min(512, (budget // per_tb) // 128 * 128))
+        self.batch_tile = batch_tile
         TB = batch_tile
         if grid_mode == "batch":
             chunk = L

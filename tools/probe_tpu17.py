@@ -92,5 +92,41 @@ def main():
         fail("int8_matmul", e)
 
 
+def extra_fused3():
+    import numpy as np, jax, jax.numpy as jnp, time
+    rng = np.random.default_rng(0)
+    from halo2_regex_tpu.models import zoo
+    from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
+    B, L = 4096, 1024
+    chars = jnp.asarray(rng.integers(32, 127, size=(B, L)).astype(np.uint8))
+    lengths = jnp.asarray(np.full((B,), L, np.int32))
+    try:
+        model3 = zoo.email_headers_model(max_chars_size=L, headers=("from", "to", "subject"))
+        m = PallasMatcher(model3)  # auto TB=384
+        def make(K):
+            @jax.jit
+            def f(c):
+                out = None
+                for _ in range(K):
+                    out = m._run(c, lengths)["mask"]
+                    dep = (out[0, 0] & 1).astype(jnp.uint8)
+                    c = c ^ dep
+                return out
+            return f
+        def fetch(x): return np.asarray(x.ravel()[:1])
+        f1, f5 = make(1), make(5)
+        for f in (f1, f5): fetch(f(chars))
+        def t(f, n=4):
+            t0 = time.perf_counter()
+            for _ in range(n): fetch(f(chars))
+            return (time.perf_counter() - t0) / n
+        per = (t(f5) - t(f1)) / 4
+        report("fused3_autoTB", tb=m.batch_tile, per_iter_sec=per,
+               mbytes_per_sec=B * L / per / 1e6)
+    except Exception as e:
+        fail("fused3_autoTB", e)
+
+
 if __name__ == "__main__":
     main()
+    extra_fused3()

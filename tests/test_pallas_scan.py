@@ -167,3 +167,26 @@ def test_pallas_fused_defs_mode(model12):
         oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
         row = res.map(lambda a: np.asarray(a)[i])
         assert_same(row, oracle)
+
+
+def test_pallas_monolithic_mode(model3):
+    """The monolithic (single fused kernel) mode stays bit-exact."""
+    matcher = PallasMatcher(model3, batch_tile=8, interpret=True, mode="monolithic")
+    chars, lengths = pack_batch(STRINGS3[:4], MAX_LEN)
+    res = matcher(chars, lengths)
+    for i, s in enumerate(STRINGS3[:4]):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        row = res.map(lambda a: np.asarray(a)[i])
+        assert_same(row, oracle)
+
+
+def test_pallas_split_mode_active_by_default(model3, model12):
+    assert PallasMatcher(model3, batch_tile=8, interpret=True).mode == "split"
+    m = PallasMatcher(model12, batch_tile=8, interpret=True)
+    assert m.mode == "split"
+    strings = [b"email was meant for @y. Also for x.", b""]
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = m(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+        assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)

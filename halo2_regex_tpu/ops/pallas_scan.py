@@ -911,7 +911,6 @@ class PallasMatcher:
             first_states=jnp.asarray(model.first_states),
         )
 
-        @jax.jit
         def run(chars, lengths):
             B = chars.shape[0]
             ctm = chars.astype(jnp.int32).T  # [L, B]
@@ -987,7 +986,8 @@ class PallasMatcher:
                 match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
             )
 
-        self._run = run
+        self.core = run  # unjitted — usable inside shard_map
+        self._run = jax.jit(run)
 
     def __call__(self, chars, lengths) -> RegexResult:
         chars = jnp.asarray(chars, jnp.uint8)

@@ -33,7 +33,13 @@ class DistributedMatcher:
         result, stats = dm(chars, lengths)     # chars [B, L] with B % n_data == 0
     """
 
-    def __init__(self, model: CompiledRegexModel, mesh: Optional[Mesh] = None):
+    def __init__(
+        self,
+        model: CompiledRegexModel,
+        mesh: Optional[Mesh] = None,
+        backend: str = "xla",  # "xla" | "pallas" (fused kernel per shard)
+        pallas_kwargs: Optional[dict] = None,
+    ):
         self.model = model
         self.mesh = mesh if mesh is not None else make_mesh()
         arrays = {
@@ -44,8 +50,25 @@ class DistributedMatcher:
         in_shard = batch_sharding(self.mesh)
         len_shard = NamedSharding(self.mesh, P(DATA_AXIS))
 
+        if backend == "pallas":
+            from ..ops.pallas_scan import PallasMatcher
+            from jax import shard_map
+
+            pm = PallasMatcher(model, **(pallas_kwargs or {}))
+            self.pallas = pm
+            core = shard_map(
+                pm.core,
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+        else:
+            def core(chars, lengths):
+                return _match_core(arrays, n_defs, chars, lengths)
+
         def run(chars, lengths):
-            out = _match_core(arrays, n_defs, chars, lengths)
+            out = core(chars, lengths)
             stats = dict(
                 n_matched=out["match_ok"].sum(),
                 n_failed=(~out["match_ok"]).sum(),

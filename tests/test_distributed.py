@@ -143,3 +143,27 @@ def test_seq_sharded_match_full_result(model3):
             np.asarray(getattr(ref, name)).astype(np.int64),
             err_msg=f"field {name}",
         )
+
+
+def test_data_parallel_pallas_backend(model3):
+    """DistributedMatcher with the fused Pallas kernel per shard (interpret
+    mode on the CPU mesh)."""
+    mesh = make_mesh()  # 8 x 1
+    dm = DistributedMatcher(
+        model3, mesh, backend="pallas",
+        pallas_kwargs=dict(batch_tile=8, interpret=True),
+    )
+    strings = STRINGS * 8  # 64 rows -> 8 per shard
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    result, stats = dm(chars, lengths)
+    for i, s in enumerate(strings[:8]):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        np.testing.assert_array_equal(
+            np.asarray(result.masked_characters)[i], oracle.masked_characters
+        )
+        assert bool(np.asarray(result.match_ok)[i]) == bool(oracle.match_ok)
+    n_ok = sum(
+        bool(ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN).match_ok)
+        for s in strings
+    )
+    assert int(stats["n_matched"]) == n_ok

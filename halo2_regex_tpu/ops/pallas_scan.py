@@ -239,6 +239,36 @@ class PallasMatcher:
         self.mode = mode
         self.pair_info = pair_info
 
+        # Stride-2 scanning: compose byte PAIRS at the class level. With k
+        # classes per def and k^2 <= 256, the pair class id is plain
+        # arithmetic (cls_a * k + cls_b) and the sequential chain halves;
+        # the intermediate (odd) states are reconstructed off-chain.
+        stride = 2
+        pair_tabs = None
+        if mode == "split":
+            for d in range(n_defs):
+                use_classes, _, _, ctab = class_info[d]
+                kd = ctab.shape[0]
+                if not use_classes or kd * kd > 256:
+                    stride = 1
+                    break
+            if L % 2 != 0:
+                stride = 1
+        else:
+            stride = 1
+        if stride == 2:
+            kk_pad = _round_up(
+                max(max(ci[3].shape[0] ** 2 for ci in class_info), 8), 8
+            )
+            pair_tabs = np.zeros((n_defs, kk_pad, S), np.float32)
+            for d in range(n_defs):
+                ctab_next = class_info[d][3][:, 0:S].astype(np.int64)  # [k, S]
+                kd = ctab_next.shape[0]
+                for a in range(kd):
+                    for b in range(kd):
+                        pair_tabs[d, a * kd + b] = ctab_next[b][ctab_next[a]]
+        self.scan_stride = stride
+
         firsts = [int(model.first_states[d]) for d in range(n_defs)]
 
         def fwd_kernel(
@@ -716,45 +746,104 @@ class PallasMatcher:
             )
 
         # ---------------- split-mode kernels ----------------
-        def scan_kernel(ctab_ref, raw_ref, chars_ref, states_ref):
-            """Sequential scan only: one pick per byte (next state)."""
+        def scan_kernel(ctab_ref, raw_ref, pair_ref, chars_ref, states_ref):
+            """Sequential scan only. stride==1: one in-chain pick per byte.
+            stride==2: one in-chain pick per byte PAIR against the composed
+            pair-class table; the intermediate states come from off-chain
+            picks against the single-byte table after the chain resolves."""
+
+            def class_of(c, cls0, terms, use_classes):
+                if not use_classes:
+                    return c
+                cls = jnp.full((TB,), cls0, jnp.int32)
+                for b_r, delta in terms:
+                    cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                return cls
+
+            def onehot_cols(cls, kdim, tbl):
+                onehot = (
+                    cls[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                ).astype(jnp.bfloat16)
+                return jnp.dot(
+                    onehot, tbl, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+
+            def pick(cols, s):
+                sel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                    == s[:, None]
+                ).astype(jnp.int32)
+                return jnp.sum(cols * sel, axis=-1)
+
             for d in range(n_defs):
-                use_classes, cls0, terms, _ = class_info[d]
+                use_classes, cls0, terms, ctab = class_info[d]
                 tbl = (
                     ctab_ref[d][:, 0:S] if use_classes else raw_ref[d][:, 0:S]
                 ).astype(jnp.bfloat16)
                 kdim = tbl.shape[0]
 
+                if stride == 2:
+                    kd = ctab.shape[0]
+                    tbl2 = pair_ref[d].astype(jnp.bfloat16)
+                    kk = tbl2.shape[0]
+                    n_slab2 = L // (2 * SLAB)
+
+                    def slab_body2(t, s, d=d, tbl=tbl, tbl2=tbl2, kd=kd,
+                                   kk=kk, cls0=cls0, terms=terms,
+                                   use_classes=use_classes):
+                        base = t * 2 * SLAB
+                        c_slab = chars_ref[pl.ds(base, 2 * SLAB), :]
+                        clss = [
+                            class_of(c_slab[j], cls0, terms, use_classes)
+                            for j in range(2 * SLAB)
+                        ]
+                        cols1 = [
+                            onehot_cols(clss[2 * j], kdim, tbl)
+                            for j in range(SLAB)
+                        ]
+                        cols2 = [
+                            onehot_cols(
+                                clss[2 * j] * kd + clss[2 * j + 1], kk, tbl2
+                            )
+                            for j in range(SLAB)
+                        ]
+                        befores = []
+                        ends = []
+                        for j in range(SLAB):
+                            befores.append(s)
+                            s = pick(cols2[j], s)
+                            ends.append(s)
+                        rows = []
+                        for j in range(SLAB):
+                            rows.append(pick(cols1[j], befores[j]))  # off-chain
+                            rows.append(ends[j])
+                        states_ref[d, pl.ds(base, 2 * SLAB), :] = jnp.stack(
+                            rows, 0
+                        )
+                        return s
+
+                    jax.lax.fori_loop(
+                        0, n_slab2, slab_body2,
+                        jnp.full((TB,), firsts[d], jnp.int32),
+                    )
+                    continue
+
                 def slab_body(t, s, d=d, tbl=tbl, use_classes=use_classes,
                               cls0=cls0, terms=terms, kdim=kdim):
                     base = t * SLAB
                     c_slab = chars_ref[pl.ds(base, SLAB), :]
-                    cols = []
-                    for j in range(SLAB):
-                        if use_classes:
-                            cls = jnp.full((TB,), cls0, jnp.int32)
-                            for b_r, delta in terms:
-                                cls = cls + delta * (c_slab[j] >= b_r).astype(
-                                    jnp.int32
-                                )
-                        else:
-                            cls = c_slab[j]
-                        onehot = (
-                            cls[:, None]
-                            == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                        ).astype(jnp.bfloat16)
-                        cols.append(
-                            jnp.dot(
-                                onehot, tbl, preferred_element_type=jnp.float32
-                            ).astype(jnp.int32)
+                    cols = [
+                        onehot_cols(
+                            class_of(c_slab[j], cls0, terms, use_classes),
+                            kdim,
+                            tbl,
                         )
+                        for j in range(SLAB)
+                    ]
                     outs = []
                     for j in range(SLAB):
-                        sel = (
-                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
-                        ).astype(jnp.int32)
-                        s = jnp.sum(cols[j] * sel, axis=-1)
+                        s = pick(cols[j], s)
                         outs.append(s)
                     states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
                     return s
@@ -851,6 +940,10 @@ class PallasMatcher:
             )
         )
 
+        tables_pair = jnp.asarray(
+            pair_tabs if pair_tabs is not None else np.zeros((n_defs, 8, S), np.float32)
+        )
+
         def make_scan(B):
             return pl.pallas_call(
                 scan_kernel,
@@ -859,6 +952,8 @@ class PallasMatcher:
                     pl.BlockSpec(tables_c.shape, lambda b: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(tables_raw.shape, lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(tables_pair.shape, lambda b: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM),
                 ],
@@ -915,7 +1010,7 @@ class PallasMatcher:
             B = chars.shape[0]
             ctm = chars.astype(jnp.int32).T  # [L, B]
             if mode == "split":
-                states_tm = make_scan(B)(tables_c, tables_raw, ctm)
+                states_tm = make_scan(B)(tables_c, tables_raw, tables_pair, ctm)
                 ids_tm, start_tm, endf_tm = make_tag(B)(
                     states_tm, lengths[None, :]
                 )

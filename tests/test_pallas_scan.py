@@ -190,3 +190,35 @@ def test_pallas_split_mode_active_by_default(model3, model12):
     for i, s in enumerate(strings):
         oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
         assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)
+
+
+def test_split_stride2_active(model3):
+    m = PallasMatcher(model3, batch_tile=8, interpret=True)
+    assert m.mode == "split" and m.scan_stride == 2
+
+
+def test_split_stride1_many_classes():
+    """A literal with many distinct bytes exceeds k^2<=256; the split scan
+    falls back to stride 1 and stays bit-exact."""
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+
+    cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 48,
+            "parts": [
+                {"is_public": False, "regex_def": "abcdefghijklmnopqrstuv:", "max_size": 24},
+                {"is_public": True, "regex_def": "(x|y|z)+", "max_size": 8},
+                {"is_public": False, "regex_def": "!", "max_size": 1},
+            ],
+        }
+    )
+    model = CompiledRegexModel.from_decomposed(cfg, max_chars_size=48)
+    m = PallasMatcher(model, batch_tile=8, interpret=True)
+    assert m.mode == "split" and m.scan_stride == 1
+    strings = [b"abcdefghijklmnopqrstuv:xyzx!", b"abcdef", b""]
+    chars, lengths = pack_batch(strings, 48)
+    res = m(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model.regex_defs, s, 48)
+        assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)

@@ -862,9 +862,6 @@ class PallasMatcher:
             lengths = lengths_ref[0, :]
             pos = jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0)
             en = (pos < lengths[None, :]).astype(jnp.int32)
-            ids_sum = jnp.zeros((L, TB), jnp.int32)
-            st_sum = jnp.zeros((L, TB), jnp.int32)
-            ef_sum = jnp.zeros((L, TB), jnp.int32)
             for d in range(n_defs):
                 nxt = states_ref[d]
                 prev = jnp.concatenate(
@@ -887,68 +884,59 @@ class PallasMatcher:
                 ids_ref[d] = ids
                 start_ref[d] = st
                 endf_ref[d] = ef
-                ids_sum = ids_sum + ids
-                st_sum = st_sum + st
-                ef_sum = ef_sum + ef
 
-            # forward/backward mask FSMs (lib.rs:598-714) over the summed
-            # columns; shifted neighbors via whole-array concat (off-chain),
-            # then slab-unrolled carries.
-            prev_ids_all = jnp.concatenate(
-                [jnp.zeros((1, TB), jnp.int32), ids_sum[: L - 1]], axis=0
-            )
-            prev_ef_all = jnp.concatenate(
-                [jnp.zeros((1, TB), jnp.int32), ef_sum[: L - 1]], axis=0
-            )
-            changed_f = (prev_ids_all != ids_sum).astype(jnp.int32)
-            setf = ((st_sum > 0) & (changed_f > 0)).astype(jnp.int32)
-            resetf = (
-                (st_sum == 0) & (prev_ef_all > 0) & (changed_f > 0)
-            ).astype(jnp.int32)
-            # hold-product FSM: out = set ? 1 : reset ? 0 : carry
+            # forward/backward mask FSMs (lib.rs:598-714): slab-unrolled
+            # carries reading the just-written VMEM column refs (Mosaic has
+            # no dynamic_slice on values, only on refs).
             zero = jnp.zeros((TB,), jnp.int32)
 
+            def sums(base):
+                i = ids_ref[0, pl.ds(base, SLAB), :]
+                s = start_ref[0, pl.ds(base, SLAB), :]
+                e = endf_ref[0, pl.ds(base, SLAB), :]
+                for d in range(1, n_defs):
+                    i = i + ids_ref[d, pl.ds(base, SLAB), :]
+                    s = s + start_ref[d, pl.ds(base, SLAB), :]
+                    e = e + endf_ref[d, pl.ds(base, SLAB), :]
+                return i, s, e
+
             def fwd_slab(t, carry):
+                last, prev_ids, prev_endf = carry
                 base = t * SLAB
+                ids_s, st_s, ef_s = sums(base)
                 outs = []
-                last = carry
                 for j in range(SLAB):
-                    i = base + j
-                    last = jnp.where(
-                        setf[i] > 0, 1, jnp.where(resetf[i] > 0, 0, last)
-                    )
+                    cur = ids_s[j]
+                    changed = (prev_ids != cur).astype(jnp.int32)
+                    is_set = (st_s[j] > 0) & (changed > 0)
+                    is_reset = (st_s[j] == 0) & (prev_endf > 0) & (changed > 0)
+                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
                     outs.append(last)
+                    prev_ids = cur
+                    prev_endf = ef_s[j]
                 fwd_ref[pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
-                return last
+                return last, prev_ids, prev_endf
 
-            jax.lax.fori_loop(0, n_slab, fwd_slab, zero)
-
-            next_ids_all = jnp.concatenate(
-                [ids_sum[1:], jnp.zeros((1, TB), jnp.int32)], axis=0
-            )
-            next_st_all = jnp.concatenate(
-                [st_sum[1:], jnp.zeros((1, TB), jnp.int32)], axis=0
-            )
-            changed_b = (next_ids_all != ids_sum).astype(jnp.int32)
-            setb = ((ef_sum > 0) & (changed_b > 0)).astype(jnp.int32)
-            resetb = (
-                (ef_sum == 0) & (next_st_all > 0) & (changed_b > 0)
-            ).astype(jnp.int32)
+            jax.lax.fori_loop(0, n_slab, fwd_slab, (zero, zero, zero))
 
             def bwd_slab(t, carry):
+                last, next_ids, next_start = carry
                 base = (n_slab - 1 - t) * SLAB
+                ids_s, st_s, ef_s = sums(base)
                 outs = [None] * SLAB
-                last = carry
                 for j in range(SLAB - 1, -1, -1):
-                    i = base + j
-                    last = jnp.where(
-                        setb[i] > 0, 1, jnp.where(resetb[i] > 0, 0, last)
-                    )
+                    cur = ids_s[j]
+                    changed = (next_ids != cur).astype(jnp.int32)
+                    is_set = (ef_s[j] > 0) & (changed > 0)
+                    is_reset = (ef_s[j] == 0) & (next_start > 0) & (changed > 0)
+                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
                     outs[j] = last
+                    next_ids = cur
+                    next_start = st_s[j]
                 bwd_ref[pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
-                return last
+                return last, next_ids, next_start
 
-            jax.lax.fori_loop(0, n_slab, bwd_slab, zero)
+            jax.lax.fori_loop(0, n_slab, bwd_slab, (zero, zero, zero))
 
         _vmem_params = (
             None

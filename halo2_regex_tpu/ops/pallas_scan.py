@@ -852,13 +852,9 @@ class PallasMatcher:
                     0, n_slab, slab_body, jnp.full((TB,), firsts[d], jnp.int32)
                 )
 
-        def tag_kernel(
-            states_ref, lengths_ref, ids_ref, start_ref, endf_ref,
-            fwd_ref, bwd_ref,
-        ):
-            """Position-parallel tagging (whole-[L, TB] elementwise pair
-            enumeration — no recurrence, no matmul) followed by both mask
-            FSMs over the just-computed VMEM-resident columns."""
+        def tag_kernel(states_ref, lengths_ref, ids_ref, start_ref, endf_ref):
+            """Position-parallel tagging: whole-[L, TB] elementwise pair
+            enumeration — no recurrence, no matmul."""
             lengths = lengths_ref[0, :]
             pos = jax.lax.broadcasted_iota(jnp.int32, (L, TB), 0)
             en = (pos < lengths[None, :]).astype(jnp.int32)
@@ -878,16 +874,12 @@ class PallasMatcher:
                         st = st + m
                     if e_flag:
                         ef = ef + m
-                ids = ids * en
-                st = st * en
-                ef = ef * en
-                ids_ref[d] = ids
-                start_ref[d] = st
-                endf_ref[d] = ef
+                ids_ref[d] = ids * en
+                start_ref[d] = st * en
+                endf_ref[d] = ef * en
 
-            # forward/backward mask FSMs (lib.rs:598-714): slab-unrolled
-            # carries reading the just-written VMEM column refs (Mosaic has
-            # no dynamic_slice on values, only on refs).
+        def fsm_kernel(ids_ref, start_ref, endf_ref, fwd_ref, bwd_ref):
+            """Both mask FSMs as slab-unrolled passes over the tag columns."""
             zero = jnp.zeros((TB,), jnp.int32)
 
             def sums(base):
@@ -985,13 +977,24 @@ class PallasMatcher:
                 out_specs=[
                     pl.BlockSpec((n_defs, L, TB), lambda b: (0, 0, b),
                                  memory_space=pltpu.VMEM)
-                ] * 3
-                + [
-                    pl.BlockSpec((L, TB), lambda b: (0, b),
+                ] * 3,
+                out_shape=[jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32)] * 3,
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def make_fsm(B):
+            return pl.pallas_call(
+                fsm_kernel,
+                grid=(B // TB,),
+                in_specs=[
+                    pl.BlockSpec((n_defs, L, TB), lambda b: (0, 0, b),
                                  memory_space=pltpu.VMEM)
+                ] * 3,
+                out_specs=[
+                    pl.BlockSpec((L, TB), lambda b: (0, b), memory_space=pltpu.VMEM)
                 ] * 2,
-                out_shape=[jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32)] * 3
-                + [jax.ShapeDtypeStruct((L, B), jnp.int32)] * 2,
+                out_shape=[jax.ShapeDtypeStruct((L, B), jnp.int32)] * 2,
                 interpret=interpret,
                 compiler_params=_vmem_params,
             )
@@ -1008,9 +1011,10 @@ class PallasMatcher:
             ctm = chars.astype(jnp.int32).T  # [L, B]
             if mode == "split":
                 states_tm = make_scan(B)(tables_c, tables_raw, tables_pair, ctm)
-                ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm = make_tag(B)(
+                ids_tm, start_tm, endf_tm = make_tag(B)(
                     states_tm, lengths[None, :]
                 )
+                fwd_tm, bwd_tm = make_fsm(B)(ids_tm, start_tm, endf_tm)
             elif grid_mode == "batch":
                 states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm = make_flat(
                     B

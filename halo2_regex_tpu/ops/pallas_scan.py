@@ -125,6 +125,7 @@ class PallasMatcher:
         compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
+        fsm_slab: int = 32,  # FSM-kernel unroll width (pure VPU, can be wide)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
@@ -492,6 +493,10 @@ class PallasMatcher:
             SLAB //= 2
         n_slab = L // SLAB
         self.slab = SLAB
+        FSLAB = min(fsm_slab, L)
+        while L % FSLAB != 0:
+            FSLAB //= 2
+        n_fslab = L // FSLAB
 
         def flat_kernel(
             ctab_ref,
@@ -883,21 +888,21 @@ class PallasMatcher:
             zero = jnp.zeros((TB,), jnp.int32)
 
             def sums(base):
-                i = ids_ref[0, pl.ds(base, SLAB), :]
-                s = start_ref[0, pl.ds(base, SLAB), :]
-                e = endf_ref[0, pl.ds(base, SLAB), :]
+                i = ids_ref[0, pl.ds(base, FSLAB), :]
+                s = start_ref[0, pl.ds(base, FSLAB), :]
+                e = endf_ref[0, pl.ds(base, FSLAB), :]
                 for d in range(1, n_defs):
-                    i = i + ids_ref[d, pl.ds(base, SLAB), :]
-                    s = s + start_ref[d, pl.ds(base, SLAB), :]
-                    e = e + endf_ref[d, pl.ds(base, SLAB), :]
+                    i = i + ids_ref[d, pl.ds(base, FSLAB), :]
+                    s = s + start_ref[d, pl.ds(base, FSLAB), :]
+                    e = e + endf_ref[d, pl.ds(base, FSLAB), :]
                 return i, s, e
 
             def fwd_slab(t, carry):
                 last, prev_ids, prev_endf = carry
-                base = t * SLAB
+                base = t * FSLAB
                 ids_s, st_s, ef_s = sums(base)
                 outs = []
-                for j in range(SLAB):
+                for j in range(FSLAB):
                     cur = ids_s[j]
                     changed = (prev_ids != cur).astype(jnp.int32)
                     is_set = (st_s[j] > 0) & (changed > 0)
@@ -906,17 +911,17 @@ class PallasMatcher:
                     outs.append(last)
                     prev_ids = cur
                     prev_endf = ef_s[j]
-                fwd_ref[pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
+                fwd_ref[pl.ds(base, FSLAB), :] = jnp.stack(outs, 0)
                 return last, prev_ids, prev_endf
 
-            jax.lax.fori_loop(0, n_slab, fwd_slab, (zero, zero, zero))
+            jax.lax.fori_loop(0, n_fslab, fwd_slab, (zero, zero, zero))
 
             def bwd_slab(t, carry):
                 last, next_ids, next_start = carry
-                base = (n_slab - 1 - t) * SLAB
+                base = (n_fslab - 1 - t) * FSLAB
                 ids_s, st_s, ef_s = sums(base)
-                outs = [None] * SLAB
-                for j in range(SLAB - 1, -1, -1):
+                outs = [None] * FSLAB
+                for j in range(FSLAB - 1, -1, -1):
                     cur = ids_s[j]
                     changed = (next_ids != cur).astype(jnp.int32)
                     is_set = (ef_s[j] > 0) & (changed > 0)
@@ -925,10 +930,10 @@ class PallasMatcher:
                     outs[j] = last
                     next_ids = cur
                     next_start = st_s[j]
-                bwd_ref[pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
+                bwd_ref[pl.ds(base, FSLAB), :] = jnp.stack(outs, 0)
                 return last, next_ids, next_start
 
-            jax.lax.fori_loop(0, n_slab, bwd_slab, (zero, zero, zero))
+            jax.lax.fori_loop(0, n_fslab, bwd_slab, (zero, zero, zero))
 
         _vmem_params = (
             None

@@ -125,7 +125,7 @@ class PallasMatcher:
         compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
-        fsm_slab: int = 32,  # FSM-kernel unroll width (pure VPU, can be wide)
+        fsm_slab: int = 8,  # FSM-kernel unroll width (8 measured best, probe23)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles

@@ -108,7 +108,7 @@ def body_prefix_config(max_byte_size: int = 1024) -> dict:
             {"is_public": False, "regex_def": f"({ca}+)?", "max_size": max_byte_size},
             {
                 "is_public": False,
-                "regex_def": 'Content-Type: text\\/plain; charset="UTF-8"\r\n\r\n',
+                "regex_def": 'Content-Type: text/plain; charset="UTF-8"\r\n\r\n',
                 "max_size": 64,
             },
         ],

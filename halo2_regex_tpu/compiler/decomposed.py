@@ -168,7 +168,19 @@ class DecomposedRegexConfig:
 
         public_config_indexes = self.public_part_indexes()
         part_patterns = self.part_regex_patterns()
-        part_regexes = [re.compile(p) for p in part_patterns]
+        try:
+            part_regexes = [re.compile(p) for p in part_patterns]
+        except re.error as e:
+            # Same limitation as the reference (vrm/mod.rs:398-403 wraps
+            # fancy-regex errors): the toy grammar treats `[` `]` as
+            # literals, but the substring-replay engine does not — a bare
+            # bracket outside an alternation member breaks the replay in
+            # both implementations.
+            raise VrmError(
+                f"substring-replay regex failed to compile ({e}); bare "
+                "[ or ] outside an alternation (|[|) is not supported by "
+                "the replay engine — same limitation as the reference"
+            ) from e
 
         n_public = len(public_config_indexes)
         substr_defs_array: List[Set[Tuple[int, int]]] = [set() for _ in range(n_public)]

@@ -122,3 +122,28 @@ def test_multi_accept_warning(tmp_path):
         }
     )
     assert ok_cfg.warn_if_multi_accept() is None
+
+
+def test_bare_bracket_raises_vrm_error():
+    """Bare `[` in a part regex: the DFA handles it as a literal, but the
+    substring-replay engine (like the reference's fancy-regex,
+    mod.rs:398-403) cannot — must surface as VrmError, not a raw re.error."""
+    import pytest
+
+    from halo2_regex_tpu.compiler.decomposed import VrmError
+
+    cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 16,
+            "parts": [
+                {"is_public": False, "regex_def": "a[:", "max_size": 4},
+                {"is_public": True, "regex_def": "(x|y)+", "max_size": 4},
+                {"is_public": False, "regex_def": "!", "max_size": 1},
+            ],
+        }
+    )
+    with pytest.raises(VrmError, match="replay"):
+        cfg.extract_substr_ids()
+    # but the allstr DFA itself is fine (the bracket is a plain literal)
+    text = compile_allstr_text(cfg.all_regex())
+    assert " 91\n" in text or text.endswith(" 91")

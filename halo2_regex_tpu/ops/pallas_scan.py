@@ -160,24 +160,69 @@ class PallasMatcher:
         n_l = L // LC
         self.chunk = LC
 
-        packed = build_packed_tables(model)
-        class_info = []
-        k_max = 1
-        for d in range(n_defs):
-            class_of, ctab = byte_classes(packed[d])
-            cls0, terms = class_boundaries(class_of)
-            use_classes = len(terms) <= max_boundary_terms
-            class_info.append((use_classes, cls0, terms, ctab))
-            if use_classes:
-                k_max = max(k_max, ctab.shape[0])
-        k_pad = _round_up(max(k_max, 8), 8)
-        # Per-def class tables padded to a common k; defs that fall back to
-        # raw bytes use the full [256, 4S] table.
-        ctabs = np.zeros((n_defs, k_pad, 4 * S), np.float32)
-        raw_needed = any(not ci[0] for ci in class_info)
-        for d, (use_classes, _, _, ctab) in enumerate(class_info):
-            if use_classes:
-                ctabs[d, : ctab.shape[0]] = ctab
+        # Beyond 256 states bf16 cannot hold state ids exactly; the split
+        # scan then uses TWO byte planes (lo | hi) of the next-state table
+        # and tagging stays integer pair-enumeration. Only split mode
+        # supports this (the monolithic packed tables stay <=256 states).
+        hi_lo = S > 256
+        self.hi_lo = hi_lo
+        if hi_lo:
+            assert model.total_substrs <= 256, "substr ids > 256 unsupported"
+            if mode == "monolithic":
+                raise ValueError(">256-state models need mode='split'")
+            mode = "split"
+            class_info = []
+            k_max = 1
+            for d in range(n_defs):
+                class_of, ctab_next = byte_classes(
+                    model.transition[d].astype(np.float32)
+                )
+                cls0, terms = class_boundaries(class_of)
+                use_classes = len(terms) <= max_boundary_terms
+                # lo | hi planes side by side: [k, 2S]
+                tab = np.concatenate(
+                    [
+                        ctab_next.astype(np.int64) & 0xFF,
+                        ctab_next.astype(np.int64) >> 8,
+                    ],
+                    axis=1,
+                ).astype(np.float32)
+                class_info.append((use_classes, cls0, terms, tab))
+                if use_classes:
+                    k_max = max(k_max, tab.shape[0])
+            k_pad = _round_up(max(k_max, 8), 8)
+            ctabs = np.zeros((n_defs, k_pad, 2 * S), np.float32)
+            raw_needed = any(not ci[0] for ci in class_info)
+            for d, (use_classes, _, _, tab) in enumerate(class_info):
+                if use_classes:
+                    ctabs[d, : tab.shape[0]] = tab
+            if raw_needed:
+                packed = np.zeros((n_defs, 256, 2 * S), np.float32)
+                for d in range(n_defs):
+                    t = model.transition[d].astype(np.int64)
+                    packed[d, :, 0:S] = t & 0xFF
+                    packed[d, :, S : 2 * S] = t >> 8
+            else:
+                packed = np.zeros((n_defs, 1, 2 * S), np.float32)
+        else:
+            packed = build_packed_tables(model)
+            class_info = []
+            k_max = 1
+            for d in range(n_defs):
+                class_of, ctab = byte_classes(packed[d])
+                cls0, terms = class_boundaries(class_of)
+                use_classes = len(terms) <= max_boundary_terms
+                class_info.append((use_classes, cls0, terms, ctab))
+                if use_classes:
+                    k_max = max(k_max, ctab.shape[0])
+            k_pad = _round_up(max(k_max, 8), 8)
+            # Per-def class tables padded to a common k; defs that fall back
+            # to raw bytes use the full [256, 4S] table.
+            ctabs = np.zeros((n_defs, k_pad, 4 * S), np.float32)
+            raw_needed = any(not ci[0] for ci in class_info)
+            for d, (use_classes, _, _, ctab) in enumerate(class_info):
+                if use_classes:
+                    ctabs[d, : ctab.shape[0]] = ctab
         self.class_info = class_info
 
         # Multi-def lane packing: when every def class-compresses and all
@@ -187,6 +232,7 @@ class PallasMatcher:
         self.fuse_defs = (
             n_defs > 1
             and not raw_needed
+            and not hi_lo
             and n_defs * 4 * S <= 512
         )
         joint_tab = None
@@ -246,7 +292,9 @@ class PallasMatcher:
         # the intermediate (odd) states are reconstructed off-chain.
         stride = 2
         pair_tabs = None
-        if mode == "split":
+        if hi_lo:
+            stride = 1
+        elif mode == "split":
             for d in range(n_defs):
                 use_classes, _, _, ctab = class_info[d]
                 kd = ctab.shape[0]
@@ -783,8 +831,11 @@ class PallasMatcher:
 
             for d in range(n_defs):
                 use_classes, cls0, terms, ctab = class_info[d]
+                width = 2 * S if hi_lo else S
                 tbl = (
-                    ctab_ref[d][:, 0:S] if use_classes else raw_ref[d][:, 0:S]
+                    ctab_ref[d][:, 0:width]
+                    if use_classes
+                    else raw_ref[d][:, 0:width]
                 ).astype(jnp.bfloat16)
                 kdim = tbl.shape[0]
 
@@ -848,7 +899,19 @@ class PallasMatcher:
                     ]
                     outs = []
                     for j in range(SLAB):
-                        s = pick(cols[j], s)
+                        if hi_lo:
+                            # state ids split across lo | hi byte planes
+                            sel = (
+                                jax.lax.broadcasted_iota(
+                                    jnp.int32, (TB, S), 1
+                                )
+                                == s[:, None]
+                            ).astype(jnp.int32)
+                            lo = jnp.sum(cols[j][:, 0:S] * sel, axis=-1)
+                            hi = jnp.sum(cols[j][:, S : 2 * S] * sel, axis=-1)
+                            s = lo + 256 * hi
+                        else:
+                            s = pick(cols[j], s)
                         outs.append(s)
                     states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
                     return s

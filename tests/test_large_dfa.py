@@ -59,9 +59,11 @@ def test_large_dfa_xla_vs_oracle(big_model):
 
 
 def test_large_dfa_pallas_refuses_cleanly(big_model):
+    """With the default pair cap the many-pair stress model raises a clear
+    error (XLA fallback); raising max_pairs unlocks the hi/lo split path."""
     from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
 
-    with pytest.raises(AssertionError, match="bf16"):
+    with pytest.raises(ValueError, match="pairs"):
         PallasMatcher(big_model, interpret=True)
 
 
@@ -69,3 +71,28 @@ def test_large_dfa_dead_on_foreign_byte(big_model):
     res = BatchMatcher(big_model).match_one(b"abc!")  # '!' has no transition
     assert bool(res.has_dead[0])
     assert not bool(res.match_ok)
+
+
+def test_large_dfa_pallas_hi_lo_split(big_model):
+    """>256-state models run on the Pallas split path via lo/hi byte-plane
+    tables (interpret mode), bit-exact vs the oracle."""
+    from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
+
+    m = PallasMatcher(big_model, batch_tile=8, interpret=True, max_pairs=1024)
+    assert m.hi_lo and m.mode == "split" and m.scan_stride == 1
+    rng = np.random.default_rng(3)
+    strings = [
+        bytes(rng.integers(97, 123, size=int(rng.integers(0, 64))).astype(np.uint8))
+        for _ in range(6)
+    ] + [b""]
+    chars, lengths = pack_batch(strings, big_model.max_chars_size)
+    res = m(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(big_model.regex_defs, s,
+                                       big_model.max_chars_size)
+        for name in res.field_names():
+            np.testing.assert_array_equal(
+                np.asarray(getattr(res, name))[i].astype(np.int64),
+                np.asarray(getattr(oracle, name)).astype(np.int64),
+                err_msg=f"row {i} field {name}",
+            )

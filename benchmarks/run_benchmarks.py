@@ -166,7 +166,18 @@ def bench3(quick):
     model = CompiledRegexModel.from_defs(
         [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
     )
-    matcher, backend = _best_matcher(model)
+    import jax
+
+    matcher, backend = None, "xla"
+    if jax.devices()[0].platform == "tpu":
+        try:
+            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
+
+            matcher, backend = PallasMatcher(model, max_pairs=4096), "pallas"
+        except Exception:
+            matcher = None
+    if matcher is None:
+        matcher = BatchMatcher(model)
     B = 4 if quick else 16
     chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
     lengths = np.full((B,), L, np.int32)

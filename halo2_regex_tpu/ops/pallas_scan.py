@@ -541,6 +541,12 @@ class PallasMatcher:
             SLAB //= 2
         n_slab = L // SLAB
         self.slab = SLAB
+        # stride-2 covers 2*SLAB positions per slab iteration; a non-dividing
+        # tail would go unscanned (caught by tests/test_pallas_scan.py
+        # odd-length cases).
+        if stride == 2 and L % (2 * SLAB) != 0:
+            stride = 1
+            self.scan_stride = 1
         FSLAB = min(fsm_slab, L)
         while L % FSLAB != 0:
             FSLAB //= 2

@@ -222,3 +222,24 @@ def test_split_stride1_many_classes():
     for i, s in enumerate(strings):
         oracle = ref_ops.match_substrs(model.regex_defs, s, 48)
         assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)
+
+
+@pytest.mark.parametrize("L", [50, 51, 1])
+def test_pallas_odd_lengths(model3, L):
+    """max_chars_size that doesn't divide the slab (or is odd/1) still
+    works: SLAB shrinks and stride-2 disables as needed."""
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+
+    from fixtures import CONFIGS
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=L
+    )
+    m = PallasMatcher(model, batch_tile=8, interpret=True)
+    strings = [b"from:a@b.cd\r\n"[:L], b"", b"x" * L]
+    chars, lengths = pack_batch(strings, L)
+    res = m(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model.regex_defs, s, L)
+        assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)

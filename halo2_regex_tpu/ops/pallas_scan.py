@@ -953,56 +953,70 @@ class PallasMatcher:
                 endf_ref[d] = ef * en
 
         def fsm_kernel(ids_ref, start_ref, endf_ref, fwd_ref, bwd_ref):
-            """Both mask FSMs as slab-unrolled passes over the tag columns."""
-            zero = jnp.zeros((TB,), jnp.int32)
+            """Both mask FSMs via a Hillis-Steele log-scan over affine
+            boolean maps — fully position-parallel whole-array ops.
 
-            def sums(base):
-                i = ids_ref[0, pl.ds(base, FSLAB), :]
-                s = start_ref[0, pl.ds(base, FSLAB), :]
-                e = endf_ref[0, pl.ds(base, FSLAB), :]
-                for d in range(1, n_defs):
-                    i = i + ids_ref[d, pl.ds(base, FSLAB), :]
-                    s = s + start_ref[d, pl.ds(base, FSLAB), :]
-                    e = e + endf_ref[d, pl.ds(base, FSLAB), :]
-                return i, s, e
+            Each position's set/reset/hold step is x' = a*x + b with
+            (a, b) in {(0,1) set, (0,0) reset, (1,0) hold}; maps compose as
+            (a1,b1)-then-(a2,b2) = (a1*a2, a2*b1 + b2), so log2(L) levels
+            of compose-with-shifted-self replace the sequential carry
+            (lib.rs:598-714 semantics preserved exactly)."""
+            ids_sum = ids_ref[0]
+            st_sum = start_ref[0]
+            ef_sum = endf_ref[0]
+            for d in range(1, n_defs):
+                ids_sum = ids_sum + ids_ref[d]
+                st_sum = st_sum + start_ref[d]
+                ef_sum = ef_sum + endf_ref[d]
 
-            def fwd_slab(t, carry):
-                last, prev_ids, prev_endf = carry
-                base = t * FSLAB
-                ids_s, st_s, ef_s = sums(base)
-                outs = []
-                for j in range(FSLAB):
-                    cur = ids_s[j]
-                    changed = (prev_ids != cur).astype(jnp.int32)
-                    is_set = (st_s[j] > 0) & (changed > 0)
-                    is_reset = (st_s[j] == 0) & (prev_endf > 0) & (changed > 0)
-                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                    outs.append(last)
-                    prev_ids = cur
-                    prev_endf = ef_s[j]
-                fwd_ref[pl.ds(base, FSLAB), :] = jnp.stack(outs, 0)
-                return last, prev_ids, prev_endf
+            one_row = jnp.ones((1, TB), jnp.int32)
+            zero_row = jnp.zeros((1, TB), jnp.int32)
 
-            jax.lax.fori_loop(0, n_fslab, fwd_slab, (zero, zero, zero))
+            def log_scan(a, b, reverse):
+                # inclusive scan of map composition along axis 0
+                shift = 1
+                while shift < L:
+                    if not reverse:
+                        # earlier neighbor: index i - shift (identity pad at top)
+                        a_prev = jnp.concatenate(
+                            [jnp.ones((shift, TB), jnp.int32), a[: L - shift]], 0
+                        )
+                        b_prev = jnp.concatenate(
+                            [jnp.zeros((shift, TB), jnp.int32), b[: L - shift]], 0
+                        )
+                    else:
+                        a_prev = jnp.concatenate(
+                            [a[shift:], jnp.ones((shift, TB), jnp.int32)], 0
+                        )
+                        b_prev = jnp.concatenate(
+                            [b[shift:], jnp.zeros((shift, TB), jnp.int32)], 0
+                        )
+                    # compose prev-then-cur: (ap,bp) then (a,b)
+                    a, b = a_prev * a, a * b_prev + b
+                    shift *= 2
+                return b  # applied to initial value 0
 
-            def bwd_slab(t, carry):
-                last, next_ids, next_start = carry
-                base = (n_fslab - 1 - t) * FSLAB
-                ids_s, st_s, ef_s = sums(base)
-                outs = [None] * FSLAB
-                for j in range(FSLAB - 1, -1, -1):
-                    cur = ids_s[j]
-                    changed = (next_ids != cur).astype(jnp.int32)
-                    is_set = (ef_s[j] > 0) & (changed > 0)
-                    is_reset = (ef_s[j] == 0) & (next_start > 0) & (changed > 0)
-                    last = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                    outs[j] = last
-                    next_ids = cur
-                    next_start = st_s[j]
-                bwd_ref[pl.ds(base, FSLAB), :] = jnp.stack(outs, 0)
-                return last, next_ids, next_start
+            # forward FSM (lib.rs:598-645)
+            prev_ids = jnp.concatenate([zero_row, ids_sum[: L - 1]], 0)
+            prev_ef = jnp.concatenate([zero_row, ef_sum[: L - 1]], 0)
+            changed = (prev_ids != ids_sum).astype(jnp.int32)
+            is_set = ((st_sum > 0) & (changed > 0)).astype(jnp.int32)
+            is_reset = ((st_sum == 0) & (prev_ef > 0) & (changed > 0)).astype(
+                jnp.int32
+            )
+            hold = (1 - is_set) * (1 - is_reset)
+            fwd_ref[:] = log_scan(hold, is_set, reverse=False)
 
-            jax.lax.fori_loop(0, n_fslab, bwd_slab, (zero, zero, zero))
+            # backward FSM (lib.rs:663-714)
+            next_ids = jnp.concatenate([ids_sum[1:], zero_row], 0)
+            next_st = jnp.concatenate([st_sum[1:], zero_row], 0)
+            changed_b = (next_ids != ids_sum).astype(jnp.int32)
+            set_b = ((ef_sum > 0) & (changed_b > 0)).astype(jnp.int32)
+            reset_b = (
+                (ef_sum == 0) & (next_st > 0) & (changed_b > 0)
+            ).astype(jnp.int32)
+            hold_b = (1 - set_b) * (1 - reset_b)
+            bwd_ref[:] = log_scan(hold_b, set_b, reverse=True)
 
         _vmem_params = (
             None

@@ -1,41 +1,40 @@
 """Fused Pallas TPU kernels: DFA scan + substring tagging + mask FSMs.
 
-One forward kernel pass produces the full witness column set that the
-reference computes row-by-row on the host (reference: src/lib.rs:311-773,
-804-888); a small reverse pass computes the backward mask FSM. Design
-facts measured on hardware (tools/probe_tpu*.py, docs/PERF.md):
+Produces the full witness column set that the reference computes
+row-by-row on the host (reference: src/lib.rs:311-773, 804-888). The
+default configuration ("split" mode) runs three kernels per batch tile:
 
-  - XLA's per-step ``lax.scan`` + gather runs at ~50 MB/s here; the whole
-    recurrence must live inside kernels.
-  - TPU has no fast vector gather; the per-byte step instead uses the MXU:
+  1. **scan** — the only sequential part. Byte classes come from a
+     boundary-sum chain (`cls = cls0 + Σ Δ_r·(c ≥ b_r)`); with k classes
+     and k² ≤ 256 the kernel steps TWO bytes at a time against a composed
+     pair-class table (stride-2), so the in-chain work is one one-hot
+     select per byte PAIR; the per-pair column vectors come from MXU
+     one-hot matmuls that depend only on the bytes and therefore pipeline
+     OFF the critical path (slab-batched). Intermediate states are
+     reconstructed off-chain. Models beyond 256 states use lo/hi
+     byte-plane tables (bf16 holds integers exactly only to 256).
+  2. **tag** — substr ids and start/end flags are pure functions of the
+     (prev, next) state pair; real substr defs have few valid pairs, so
+     the whole pass is position-parallel elementwise pair enumeration
+     (no recurrence, no matmul).
+  3. **fsm** — both set/reset/hold mask recurrences as Hillis-Steele
+     log-scans over affine boolean maps (whole-array ops).
 
-        cls     = Σ_r Δ_r · (c ≥ b_r)          # byte -> equivalence class
-        onehot  = (cls == iota_k)               # [TB, k], k ≈ 8-32
-        cols    = onehot @ M                    # MXU, M [k, 4S]
-        next/id/start/end = Σ cols_slice ⊙ onehot(state)   # lane-reduce
+"monolithic" mode (single fused kernel, 4-way packed tables
+[k, 4S] = next|id|start|end per byte step) remains for many-pair models.
 
-    where ``M[cls, kk*S + s]`` packs FOUR tables (next state, substr id,
-    is_start, is_end as functions of (byte class, cur state)) so tagging
-    and flags ride the same matmul. Byte-class compression exploits that
-    the 256 byte values collapse into few equivalence classes per DFA
-    (bytes with identical packed columns), shrinking the matmul ~256/k x.
-  - Extraction by one-hot select: ``take_along_axis`` mis-lowers narrow
-    indices on this Mosaic and costs ~8 gathers/cycle besides.
-  - The sequence axis is processed in LC-sized chunks by a grid that runs
-    sequentially on-core; the DFA state, forward-FSM carry and chunk-edge
-    columns persist in VMEM scratch across grid steps. This keeps VMEM
-    blocks small (streaming, double-buffered by the Pallas pipeline) and
-    allows large batch tiles.
-  - Everything is time-major ``[LC, TB]`` (per-step row reads are
-    sublane-dimension dynamic slices; lane-dimension dynamic indexing is
-    the slow/broken direction).
-
-bf16 exactness bounds: packed values < 257 (S_pad <= 256, substr ids <=
-256) — asserted at build time.
+Hard-won constraints of this toolchain (tools/probe_tpu*.py, docs/PERF.md):
+take_along_axis mis-lowers narrow indices and is ~8 gathers/cycle (use
+one-hot selects); no dynamic_slice on values (only refs); no
+(a,b)->(a*b,) shape casts; MXU matmuls inside multi-dim grids with
+scratch SIGABRT the compiler (hence 1D whole-L grids; the 2D "chunked"
+mode is kept for fixed toolchains); scoped VMEM defaults to 16 MB with a
+usable ceiling near 56-60 MB (auto batch-tile sizing); data is time-major
+[L, TB] since lane-dimension dynamic indexing is the slow direction.
 
 Outputs are bit-identical to :mod:`halo2_regex_tpu.ops.reference`
-(tests/test_pallas_scan.py: interpret mode on CPU; tools/probe_tpu5.py:
-compiled on TPU).
+(tests/test_pallas_scan.py in interpret mode; tools/probe_tpu* compiled
+on hardware).
 """
 
 from __future__ import annotations

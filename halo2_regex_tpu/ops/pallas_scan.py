@@ -124,6 +124,7 @@ class PallasMatcher:
         compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
+        interleave: int = 1,  # independent lane-half chains in the scan
         fsm_slab: int = 8,  # FSM-kernel unroll width (8 measured best, probe23)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
@@ -871,14 +872,48 @@ class PallasMatcher:
                         ]
                         befores = []
                         ends = []
-                        for j in range(SLAB):
-                            befores.append(s)
-                            s = pick(cols2[j], s)
-                            ends.append(s)
-                        rows = []
-                        for j in range(SLAB):
-                            rows.append(pick(cols1[j], befores[j]))  # off-chain
-                            rows.append(ends[j])
+                        if interleave == 2:
+                            # two independent lane-half chains: while one
+                            # half's select is in flight the other's issues
+                            # (the chain is latency-bound, docs/PERF.md).
+                            TB2 = TB // 2
+                            sA, sB = s[:TB2], s[TB2:]
+                            for j in range(SLAB):
+                                befores.append((sA, sB))
+                                selA = (
+                                    jax.lax.broadcasted_iota(
+                                        jnp.int32, (TB2, S), 1
+                                    )
+                                    == sA[:, None]
+                                ).astype(jnp.int32)
+                                selB = (
+                                    jax.lax.broadcasted_iota(
+                                        jnp.int32, (TB2, S), 1
+                                    )
+                                    == sB[:, None]
+                                ).astype(jnp.int32)
+                                sA = jnp.sum(cols2[j][:TB2] * selA, axis=-1)
+                                sB = jnp.sum(cols2[j][TB2:] * selB, axis=-1)
+                                ends.append(jnp.concatenate([sA, sB], 0))
+                            s = ends[-1]
+                            rows = []
+                            for j in range(SLAB):
+                                bA, bB = befores[j]
+                                rows.append(
+                                    pick(cols1[j], jnp.concatenate([bA, bB], 0))
+                                )
+                                rows.append(ends[j])
+                        else:
+                            for j in range(SLAB):
+                                befores.append(s)
+                                s = pick(cols2[j], s)
+                                ends.append(s)
+                            rows = []
+                            for j in range(SLAB):
+                                rows.append(
+                                    pick(cols1[j], befores[j])
+                                )  # off-chain
+                                rows.append(ends[j])
                         states_ref[d, pl.ds(base, 2 * SLAB), :] = jnp.stack(
                             rows, 0
                         )

@@ -125,6 +125,8 @@ class PallasMatcher:
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
         interleave: int = 1,  # independent lane-half chains in the scan
+        #   (interleave=2 is interpret-verified but does not compile on the
+        #   current Mosaic build — re-test per docs/ROADMAP.md)
         fsm_slab: int = 8,  # FSM-kernel unroll width (8 measured best, probe23)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block

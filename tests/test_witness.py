@@ -175,3 +175,32 @@ def test_batch_checker_catches_tampering(model3):
     assert check_witness_batch(model3.regex_defs, result)[0]
     result.states[0, 3] += 1
     assert not check_witness_batch(model3.regex_defs, result)[0]
+
+
+def test_checker_randomized_tamper_sweep(model3):
+    """Any single-cell corruption of a valid witness's constrained columns
+    must be caught by the checker (soundness property sweep)."""
+    rng = np.random.default_rng(11)
+    s = b"dummy\r\nfrom:alice<alice@gmail.com>\r\n"
+    base = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+    assert verify(model3.regex_defs, base)
+    import copy
+
+    caught = 0
+    total = 0
+    for trial in range(40):
+        r = copy.deepcopy(base)
+        field = ["states", "substr_ids_per_def", "all_enable_flags"][trial % 3]
+        arr = getattr(r, field)
+        idx = tuple(int(rng.integers(0, d)) for d in arr.shape)
+        # only corrupt within the enabled region where constraints bind
+        pos = idx[-1]
+        if pos >= len(s):
+            continue
+        old = arr[idx]
+        arr[idx] = old + 1 + int(rng.integers(0, 3))
+        total += 1
+        if not verify(model3.regex_defs, r):
+            caught += 1
+    assert total > 10
+    assert caught == total, f"checker missed {total - caught}/{total} tampers"

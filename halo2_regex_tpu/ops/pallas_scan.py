@@ -127,7 +127,6 @@ class PallasMatcher:
         interleave: int = 1,  # independent lane-half chains in the scan
         #   (interleave=2 is interpret-verified but does not compile on the
         #   current Mosaic build — re-test per docs/ROADMAP.md)
-        fsm_slab: int = 8,  # FSM-kernel unroll width (8 measured best, probe23)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
@@ -549,10 +548,6 @@ class PallasMatcher:
         if stride == 2 and L % (2 * SLAB) != 0:
             stride = 1
             self.scan_stride = 1
-        FSLAB = min(fsm_slab, L)
-        while L % FSLAB != 0:
-            FSLAB //= 2
-        n_fslab = L // FSLAB
 
         def flat_kernel(
             ctab_ref,

@@ -63,19 +63,45 @@ def _shift_left(x, axis_name, fill=0):
     return jnp.concatenate([x[:, 1:], next_first], axis=1)
 
 
-def _exclusive_prefix_compose(local, axis_name, compose, identity):
+def _exclusive_prefix_compose(local, axis_name, compose, identity, reverse=False):
     """Exclusive prefix-combine of per-shard monoid elements along
-    ``axis_name``. ``local``: this shard's element. Returns the composition
-    of all elements of shards strictly before this one."""
+    ``axis_name`` in ⌈log2 n⌉ ``ppermute`` rounds (Hillis-Steele ladder —
+    O(n·log n) total work but latency-logarithmic in shard count, vs the
+    O(n)-round gather+loop this replaces).
+
+    ``local``: this shard's element. Returns the composition of all
+    elements of shards strictly before this one in processing order
+    (shard 0 first, or shard n-1 first when ``reverse``).  ``compose(a, b)``
+    must apply ``a`` (earlier) then ``b`` (later).
+    """
     n = jax.lax.axis_size(axis_name)
-    my = jax.lax.axis_index(axis_name)
-    gathered = jax.lax.all_gather(local, axis_name)  # [n, ...] (pytree)
-
-    def body(i, acc):
-        elem = jax.tree.map(lambda g: g[i], gathered)
-        return jax.lax.cond(i < my, lambda a: compose(a, elem), lambda a: a, acc)
-
-    return jax.lax.fori_loop(0, n, body, identity)
+    idx = jax.lax.axis_index(axis_name)
+    ridx = (n - 1 - idx) if reverse else idx
+    x = local
+    shift = 1
+    while shift < n:
+        # pull the inclusive window ending just before ours
+        if reverse:
+            perm = [(i, (i - shift) % n) for i in range(n)]
+        else:
+            perm = [(i, (i + shift) % n) for i in range(n)]
+        y = jax.tree.map(
+            lambda t: jax.lax.ppermute(t, axis_name, perm=perm), x
+        )
+        xc = compose(y, x)
+        x = jax.tree.map(
+            lambda a, b: jnp.where(ridx >= shift, a, b), xc, x
+        )
+        shift *= 2
+    # inclusive -> exclusive: shift by one, identity at the first shard
+    if reverse:
+        perm1 = [(i, (i - 1) % n) for i in range(n)]
+    else:
+        perm1 = [(i, (i + 1) % n) for i in range(n)]
+    y = jax.tree.map(lambda t: jax.lax.ppermute(t, axis_name, perm=perm1), x)
+    return jax.tree.map(
+        lambda ident, yy: jnp.where(ridx == 0, ident, yy), identity, y
+    )
 
 
 def _compose_maps(f, g):
@@ -224,19 +250,12 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
     ).astype(jnp.int32)
     (Ab, Bb), (tab, tbb) = _local_affine_fsm(set_b, reset_b, reverse=True)
     # For the reverse direction, "earlier" shards are those AFTER mine.
-    n = jax.lax.axis_size(SEQ_AXIS)
-    my = jax.lax.axis_index(SEQ_AXIS)
-    gathered = jax.lax.all_gather((tab, tbb), SEQ_AXIS)
-
-    def body(i, acc):
-        j = n - 1 - i
-        elem = (gathered[0][j], gathered[1][j])
-        return jax.lax.cond(
-            j > my, lambda a: _affine_compose(a, elem), lambda a: a, acc
-        )
-
-    entry_b = jax.lax.fori_loop(
-        0, n, body, (jnp.ones_like(tab), jnp.zeros_like(tbb))
+    entry_b = _exclusive_prefix_compose(
+        (tab, tbb),
+        SEQ_AXIS,
+        _affine_compose,
+        (jnp.ones_like(tab), jnp.zeros_like(tbb)),
+        reverse=True,
     )
     bwd_entry_val = entry_b[1]
     bwd_mask = Ab * bwd_entry_val[:, None] + Bb

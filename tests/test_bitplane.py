@@ -1,0 +1,188 @@
+"""Bit-sliced (bitplane) backend vs the oracle.
+
+The Pallas scan kernel runs in interpret mode on CPU; the XLA pack /
+class / tag / FSM / unpack stages run as-is. The same pipeline compiles
+for TPU (tools/probe_tpu20+.py, bench.py)."""
+
+import numpy as np
+import pytest
+
+from halo2_regex_tpu.compiler.bitslice import (
+    Builder,
+    byte_set_expr,
+    linearize,
+    synthesize_def,
+    verify_def_circuits,
+)
+from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+from halo2_regex_tpu.models.compiled import CompiledRegexModel
+from halo2_regex_tpu.ops import reference as ref_ops
+from halo2_regex_tpu.ops.bitplane import BitplaneMatcher, _substr_pairs
+from halo2_regex_tpu.ops.scan_jax import pack_batch
+
+from fixtures import CONFIGS
+
+MAX_LEN = 64
+
+
+@pytest.fixture(scope="module")
+def model3():
+    return CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]),
+        max_chars_size=MAX_LEN,
+    )
+
+
+@pytest.fixture(scope="module")
+def model12():
+    cfgs = [
+        DecomposedRegexConfig.from_json(CONFIGS["regex1"]),
+        DecomposedRegexConfig.from_json(CONFIGS["regex2"]),
+    ]
+    return CompiledRegexModel.from_decomposed(cfgs, max_chars_size=MAX_LEN)
+
+
+def assert_same(res, oracle):
+    for name in oracle.field_names():
+        x = np.asarray(getattr(res, name)).astype(np.int64)
+        y = np.asarray(getattr(oracle, name)).astype(np.int64)
+        np.testing.assert_array_equal(x, y, err_msg=f"field {name}")
+
+
+# ---------------------------------------------------------------------------
+# synthesis-level tests
+# ---------------------------------------------------------------------------
+
+
+def test_byte_set_expr_exhaustive():
+    b = Builder()
+    for vals in ([], [0], [255], list(range(48, 58)), [10, 13] + list(range(32, 127))):
+        prog = linearize(b, {"f": byte_set_expr(b, vals)})
+        bytes_all = np.arange(256)
+        env = {
+            f"byte_bit{j}": ((bytes_all >> j) & 1).astype(bool) for j in range(8)
+        }
+        got = prog.run(env)["f"]
+        expect = np.isin(bytes_all, vals)
+        np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("name", ["regex1", "regex2", "regex3"])
+def test_synthesized_circuits_exhaustive(name):
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS[name]), max_chars_size=MAX_LEN
+    )
+    idb = max(1, int(model.total_substrs).bit_length())
+    for d in range(model.n_defs):
+        c = synthesize_def(
+            model.transition[d],
+            int(model.first_states[d]),
+            int(model.dead_states[d]),
+            _substr_pairs(model, d),
+            idb=idb,
+        )
+        verify_def_circuits(c, model.transition[d])
+        # tag circuit vs the dense tables over every live (prev, next) pair
+        live = c.live_states
+        n = len(live)
+        prev_idx = np.repeat(live, n)
+        next_idx = np.tile(live, n)
+        env = {
+            f"prev{j}": ((prev_idx >> j) & 1).astype(bool) for j in range(c.sb)
+        }
+        env.update(
+            {f"next{j}": ((next_idx >> j) & 1).astype(bool) for j in range(c.sb)}
+        )
+        out = c.tag_prog.run(env)
+        gid = model.substr_id_table[d][prev_idx, next_idx]
+        for j in range(idb):
+            np.testing.assert_array_equal(
+                out[f"id{j}"], ((gid >> j) & 1).astype(bool), err_msg=f"id{j}"
+            )
+        np.testing.assert_array_equal(
+            out["is_start"], model.is_start_table[gid, prev_idx]
+        )
+        np.testing.assert_array_equal(
+            out["is_end"], model.is_end_table[gid, next_idx]
+        )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end pipeline vs oracle (interpret-mode kernel)
+# ---------------------------------------------------------------------------
+
+STRINGS3 = [
+    b"from:alice@gmail.com\r\n",
+    b"dummy\r\nfrom:alice<alice@gmail.com>\r\n",
+    b"from:alice<alicegmail.com>\r\n",
+    b"",
+    bytes([0, 1, 2]),
+    b"from:bob@x.yz\r\n",
+    b"from:alice<alice@gmail.com>",
+    b"x" * MAX_LEN,  # full-length input
+]
+
+
+def test_bitplane_matches_oracle_regex3(model3):
+    m = BitplaneMatcher(model3, interpret=True)
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    res = m(chars, lengths)
+    for i, s in enumerate(STRINGS3):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+
+
+def test_bitplane_two_defs(model12):
+    m = BitplaneMatcher(model12, interpret=True)
+    strings = [
+        b"email was meant for @y. Also for x.",
+        b"email was meant for @yajk. Also for swq.",
+        b"email was meant for @@",
+        b"",
+    ]
+    chars, lengths = pack_batch(strings, MAX_LEN)
+    res = m(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+        assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+
+
+def test_bitplane_fuzz(model3):
+    rng = np.random.default_rng(42)
+    m = BitplaneMatcher(model3, interpret=True)
+    B = 16
+    chars = np.zeros((B, MAX_LEN), np.uint8)
+    lengths = np.zeros((B,), np.int32)
+    pieces = [b"from:", b"@", b".", b"<", b">", b"\r\n", b"ab", b"x.y"]
+    for i in range(B):
+        n = int(rng.integers(0, 6))
+        s = b"".join(
+            pieces[int(j)] for j in rng.integers(0, len(pieces), size=n)
+        )[:MAX_LEN]
+        chars[i, : len(s)] = bytearray(s)
+        lengths[i] = len(s)
+    res = m(chars, lengths)
+    for i in range(B):
+        s = bytes(chars[i, : lengths[i]])
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+
+
+def test_bitplane_odd_length_model(model3):
+    # L not a multiple of the kernel chunk exercises the L_pad path
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=50
+    )
+    m = BitplaneMatcher(model, interpret=True, lc=16)
+    s = b"from:alice@gmail.com\r\n"
+    res = m.match_one(s)
+    oracle = ref_ops.match_substrs(model.regex_defs, s, 50)
+    assert_same(res, oracle)
+
+
+def test_bitplane_noncompact_dtypes(model3):
+    m = BitplaneMatcher(model3, interpret=True, compact=False)
+    s = b"from:bob@x.yz\r\n"
+    res = m.match_one(s)
+    oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+    assert_same(res, oracle)

@@ -331,6 +331,7 @@ class DefCircuits:
     first_state: int
     step_ops: int = 0
     tag_ops: int = 0
+    fold_class: bool = True  # step_prog inputs are byte_bit{j} (True) or cls{c}
 
 
 def _union_expr(
@@ -362,12 +363,20 @@ def synthesize_def(
     dead_state: int,
     substr_pairs: Optional[List[Tuple[int, int, int, bool, bool]]] = None,
     idb: int = 0,
+    fold_class: bool = True,
 ) -> DefCircuits:
     """Build all circuits for one def.
 
     ``substr_pairs``: (cur, next, global_id, is_start, is_end) per valid
     substr transition (the split-mode pair enumeration,
     ops/pallas_scan.py pair_info).
+
+    ``fold_class``: build the step circuit directly over the 8 byte-bit
+    planes (class BDD inlined, sub-expressions shared with the transition
+    terms) — the scan kernel then reads byte planes straight from the pack
+    stage with no separate class pass.  When False the step circuit takes
+    ``cls{c}`` indicator planes as inputs (the separate ``class_prog``
+    computes them).
     """
     # Reachable state support (scan starts at first; dead always included
     # as the sink for invalid transitions).
@@ -409,7 +418,10 @@ def synthesize_def(
     # complemented, but the set-memo + one-hot complement inside
     # _union_expr already bounds each union at n_live/2 ops.
     for c in range(k):
-        cls_v = sbld.var(f"cls{c}")
+        if fold_class:
+            cls_v = byte_set_expr(sbld, np.nonzero(class_of == c)[0])
+        else:
+            cls_v = sbld.var(f"cls{c}")
         # representative byte for this class
         rep = int(np.nonzero(class_of == c)[0][0])
         groups: Dict[int, List[int]] = {}
@@ -485,6 +497,7 @@ def synthesize_def(
         first_state=int(first_state),
         step_ops=step_prog.n_ops,
         tag_ops=tag_ops,
+        fold_class=fold_class,
     )
 
 
@@ -508,15 +521,22 @@ def verify_def_circuits(c: DefCircuits, transition: np.ndarray) -> None:
         got = out[f"cls{cc}"]
         assert (got == expect).all(), f"class circuit mismatch cls{cc}"
 
-    # step circuit over all (class, state) pairs
-    n = c.k * len(c.live_states)
-    cls_idx = np.repeat(np.arange(c.k), len(c.live_states))
-    st_idx = np.tile(np.array(c.live_states), c.k)
-    env = {f"cls{cc}": cls_idx == cc for cc in range(c.k)}
+    # step circuit over all (byte-or-class, state) pairs
+    if c.fold_class:
+        byte_idx = np.repeat(np.arange(256), len(c.live_states))
+        st_idx = np.tile(np.array(c.live_states), 256)
+        env = {
+            f"byte_bit{j}": ((byte_idx >> j) & 1).astype(bool) for j in range(8)
+        }
+        expect_next = transition[byte_idx, st_idx]
+    else:
+        cls_idx = np.repeat(np.arange(c.k), len(c.live_states))
+        st_idx = np.tile(np.array(c.live_states), c.k)
+        env = {f"cls{cc}": cls_idx == cc for cc in range(c.k)}
+        reps = [int(np.nonzero(c.class_of == cc)[0][0]) for cc in range(c.k)]
+        expect_next = transition[np.array(reps)[cls_idx], st_idx]
     env.update({f"st{s}": st_idx == s for s in c.live_states})
     out = c.step_prog.run(env)
-    reps = [int(np.nonzero(c.class_of == cc)[0][0]) for cc in range(c.k)]
-    expect_next = transition[np.array(reps)[cls_idx], st_idx]
     for s in c.live_states:
         got = out[f"nst{s}"]
         assert (got == (expect_next == s)).all(), f"step circuit mismatch nst{s}"

@@ -280,35 +280,10 @@ class DecomposedRegexConfig:
             )
         return None
 
-    def gen_regex_files(self, allstr_file_path, substr_file_pathes) -> None:
-        """Write the allstr text table and one substr text table per public
-        part, byte-identically to the reference (mod.rs:67-307)."""
-        nodes = self.compile_dfa()
-        warning = self.warn_if_multi_accept(nodes)
-        if warning:
-            import warnings
-
-            warnings.warn(warning, stacklevel=2)
-        Path(allstr_file_path).write_text(dfa_to_regex_def_text(nodes))
-        (
-            substr_defs_array,
-            substr_endpoints_array,
-            public_config_indexes,
-        ) = self.extract_substr_ids(nodes)
-        for idx, defs in enumerate(substr_defs_array):
-            max_size = self.parts[public_config_indexes[idx]].max_size
-            lines = [f"{max_size}\n", f"0\n{self.max_byte_size - 1}\n"]
-            starts, ends = substr_endpoints_array[idx]
-            lines.append("".join(f"{s} " for s in sorted(starts)) + "\n")
-            lines.append("".join(f"{e} " for e in sorted(ends)) + "\n")
-            for cur, nxt in sorted(defs):
-                lines.append(f"{cur} {nxt}\n")
-            Path(substr_file_pathes[idx]).write_text("".join(lines))
-
-    def substr_texts(self) -> List[str]:
-        """The substr table file contents as strings (same bytes as
-        :meth:`gen_regex_files` writes), for in-memory use."""
-        nodes = self.compile_dfa()
+    def _render_substr_texts(self, nodes) -> List[str]:
+        """Format one substr table per public part, byte-identically to the
+        reference writer (mod.rs:266-304): max_size / 0 / max-1 /
+        sorted starts / sorted ends / sorted (cur, next) pairs."""
         (
             substr_defs_array,
             substr_endpoints_array,
@@ -325,3 +300,21 @@ class DecomposedRegexConfig:
                 lines.append(f"{cur} {nxt}\n")
             out.append("".join(lines))
         return out
+
+    def gen_regex_files(self, allstr_file_path, substr_file_pathes) -> None:
+        """Write the allstr text table and one substr text table per public
+        part, byte-identically to the reference (mod.rs:67-307)."""
+        nodes = self.compile_dfa()
+        warning = self.warn_if_multi_accept(nodes)
+        if warning:
+            import warnings
+
+            warnings.warn(warning, stacklevel=2)
+        Path(allstr_file_path).write_text(dfa_to_regex_def_text(nodes))
+        for idx, text in enumerate(self._render_substr_texts(nodes)):
+            Path(substr_file_pathes[idx]).write_text(text)
+
+    def substr_texts(self) -> List[str]:
+        """The substr table file contents as strings (same bytes as
+        :meth:`gen_regex_files` writes), for in-memory use."""
+        return self._render_substr_texts(self.compile_dfa())

@@ -1,27 +1,30 @@
 """Bit-sliced (bitplane) witness pipeline — the high-throughput backend.
 
-Thirty-two strings are packed into each int32 lane ("planes": bit ``i`` of
-word ``w`` belongs to string ``w*32 + i``) and the whole witness pipeline
-runs as boolean circuits on planes:
+Thirty-two strings are packed into each int32 lane ("planes") and the whole
+witness pipeline runs as boolean circuits on planes:
 
-  1. **pack** (XLA): bytes ``[B, L]`` -> 8 byte-bit planes; the 32-way
-     bit-pack reduction rides the MXU as two f32 matmuls per plane.
-  2. **class stage** (XLA): the synthesized BDD circuit
-     (:mod:`..compiler.bitslice`) turns byte-bit planes into one indicator
-     plane per byte equivalence class — position-parallel, XLA-fused.
-  3. **scan kernel** (Pallas): the only sequential stage. Per byte step the
-     synthesized step circuit (~100-300 VPU bitops for email-scale DFAs,
-     each op covering 32,768 strings) maps one-hot state planes through the
-     class planes; log2-encoded state planes stream out. Replaces the
-     reference's per-byte HashMap loop (src/lib.rs:804-823).
-  4. **tag + mask FSMs** (XLA, packed): substr ids / start / end flags are
+  1. **pack** (XLA): bytes ``[B, L]`` -> 8 byte-bit planes via a bitcast
+     reinterpretation (uint8x4 -> int32) plus shift/mask combines — no
+     data expansion, no matmul.  The resulting bit order within each word
+     is the fixed permutation ``PI`` (string ``r`` of a word sits at bit
+     ``8*(r%4) + r//4``); every packed-domain consumer is bit-position
+     agnostic and the unpack stage inverts ``PI``.
+  2. **scan kernel** (Pallas): the only sequential stage.  Per byte step a
+     synthesized boolean circuit (:mod:`..compiler.bitslice`, byte-class
+     BDD folded in, ~200-400 VPU bitops for email-scale DFAs, each op
+     covering 32,768 strings) maps one-hot state planes — carried in
+     registers across the fori_loop — through the byte-bit planes;
+     log2-encoded state planes stream out.  Replaces the reference's
+     per-byte HashMap loop (src/lib.rs:804-823).
+  3. **tag + mask FSMs** (XLA, packed): substr ids / start / end flags are
      pure functions of the (prev, next) state pair (src/lib.rs:825-888) —
      a synthesized pair circuit; the two set/reset/hold mask FSMs
-     (src/lib.rs:598-714) run as Hillis-Steele log-scans over 1-bit
-     affine maps, all in the packed domain.
-  5. **unpack** (XLA): planes -> compact value-domain witness columns
-     (uint8 states/ids/chars, 0/1 flags; ``ScanTraffic``'s ~6 B/byte
-     model).
+     (src/lib.rs:598-714) run as Hillis-Steele log-scans over 1-bit affine
+     maps, all in the packed domain.
+  4. **unpack** (XLA): planes -> compact value-domain witness columns
+     (uint8 states/ids/chars, 0/1 flags; the ~6 B/byte ``ScanTraffic``
+     model).  All of a def's planes unpack in one grouped pass (single
+     32-way bit expansion, bit-field extraction after).
 
 Outputs are bit-identical to :mod:`.reference` (tests/test_bitplane.py).
 Supported models: every def's live state count and byte-class count must
@@ -43,7 +46,11 @@ from ..models.compiled import CompiledRegexModel
 from ..witness.result import RegexResult
 
 LANE = 128
-_BIT_IOTA = None
+
+# Bit position of string r (r = global_string % 32) within its packed word:
+# the bitcast pack routes string 4j+s of byte-group j (m = j % 8) to bit
+# 8*s + m.  Unpack shifts by PI to invert.
+PI = np.array([8 * (r % 4) + r // 4 for r in range(32)], np.int32)
 
 
 def _substr_pairs(model: CompiledRegexModel, d: int):
@@ -72,52 +79,90 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def pack_bits(bits_f32: jnp.ndarray) -> jnp.ndarray:
-    """[..., NW, 32] {0,1} float32 -> [..., NW] int32 packed words.
+def _combine8(bj: jnp.ndarray) -> jnp.ndarray:
+    """[L, B//4] int32 with one masked bit per byte lane -> [L, B//32]
+    words (disjoint-bit sum over groups of 8)."""
+    L, nq = bj.shape
+    g = bj.reshape(L, nq // 8, 8)
+    sh = jnp.arange(8, dtype=jnp.int32)
+    return (g << sh).sum(axis=-1, dtype=jnp.int32)
 
-    Two 16-wide f32 matmuls (exact: partial sums < 2^16) that XLA places on
-    the MXU, then a shift-or combine.
-    """
-    pw = jnp.asarray(2.0 ** np.arange(16), jnp.float32)
-    lo = bits_f32[..., :16] @ pw
-    hi = bits_f32[..., 16:] @ pw
-    return lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 16)
+
+def _bytes_to_words(x_u8: jnp.ndarray) -> jnp.ndarray:
+    """[L, B] uint8 -> [L, B//4] int32 via bitcast (4 bytes per word)."""
+    L, B = x_u8.shape
+    return jax.lax.bitcast_convert_type(
+        x_u8.reshape(L, B // 4, 4), jnp.int32
+    )
 
 
 def pack_bytes(chars: jnp.ndarray, L_pad: int) -> List[jnp.ndarray]:
-    """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, NW] int32."""
+    """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, B//32] int32
+    (PI bit order)."""
     B, L = chars.shape
-    NW = B // 32
-    x = chars.astype(jnp.int32).T  # [L, B]
+    x = chars.T
     if L_pad != L:
         x = jnp.pad(x, ((0, L_pad - L), (0, 0)))
-    xt = x.reshape(L_pad, NW, 32)
-    return [pack_bits(((xt >> j) & 1).astype(jnp.float32)) for j in range(8)]
+    w = _bytes_to_words(x)
+    mask = jnp.int32(0x01010101)
+    return [_combine8((w >> j) & mask) for j in range(8)]
 
 
 def pack_bool(col: jnp.ndarray, L_pad: int) -> jnp.ndarray:
-    """[B, L] bool/int -> one plane [L_pad, NW] int32."""
+    """[B, L] bool/0-1 -> one plane [L_pad, B//32] int32 (PI bit order)."""
     B, L = col.shape
-    NW = B // 32
-    x = col.astype(jnp.int32).T
+    x = col.astype(jnp.uint8).T
     if L_pad != L:
         x = jnp.pad(x, ((0, L_pad - L), (0, 0)))
-    return pack_bits(x.reshape(L_pad, NW, 32).astype(jnp.float32))
+    w = _bytes_to_words(x)
+    return _combine8(w & jnp.int32(0x01010101))
 
 
 def unpack_planes(planes: List[jnp.ndarray], L: int, out_dtype=jnp.uint8):
-    """List of NB planes [L_pad, ...NW words] -> values [B, L] (bit j from
-    planes[j])."""
-    p0 = planes[0].reshape(planes[0].shape[0], -1)
-    NW = p0.shape[-1]
-    B = NW * 32
-    bit_iota = jnp.arange(32, dtype=jnp.int32)
+    """List of NB planes [L_pad, ...] -> values [B, L] (bit j of the value
+    from planes[j]; PI bit order inverted)."""
+    acc = _unpack_raw(planes, L)
+    return acc.astype(out_dtype)
+
+
+def _unpack_raw(planes: List[jnp.ndarray], L: int) -> jnp.ndarray:
+    pi = jnp.asarray(PI)
     acc = None
     for j, p in enumerate(planes):
         p = p.reshape(p.shape[0], -1)
-        v = ((p[:L, :, None] >> bit_iota) & 1) << j
+        v = ((p[:L, :, None] >> pi) & 1) << j
         acc = v if acc is None else acc | v
-    return acc.reshape(L, B).T.astype(out_dtype)
+    NW = planes[0].reshape(planes[0].shape[0], -1).shape[-1]
+    return acc.reshape(L, NW * 32).T  # [B, L] int32
+
+
+def unpack_groups(
+    named: List[Tuple[str, List[jnp.ndarray]]], L: int
+) -> Dict[str, jnp.ndarray]:
+    """Unpack many named plane-vectors with one bit-expansion per <=32-bit
+    group: each group's planes become bit-fields of a single int32 value
+    per (string, position), then split by shift/mask."""
+    groups: List[List[Tuple[str, int, List[jnp.ndarray]]]] = []
+    cur: List[Tuple[str, int, List[jnp.ndarray]]] = []
+    bits = 0
+    for name, planes in named:
+        nb = len(planes)
+        if bits + nb > 32:
+            groups.append(cur)
+            cur, bits = [], 0
+        cur.append((name, bits, planes))
+        bits += nb
+    if cur:
+        groups.append(cur)
+    out: Dict[str, jnp.ndarray] = {}
+    for g in groups:
+        all_planes = [p for (_, _, ps) in g for p in ps]
+        vals = _unpack_raw(all_planes, L)  # [B, L] int32
+        for name, off, ps in g:
+            nb = len(ps)
+            field = (vals >> off) & ((1 << nb) - 1)
+            out[name] = field
+    return out
 
 
 def plane_add(a: List[jnp.ndarray], b: List[jnp.ndarray], n_out: int):
@@ -173,6 +218,75 @@ def _fsm_log_scan(hold: jnp.ndarray, setp: jnp.ndarray, reverse: bool):
     return b
 
 
+def _post_xla(circuits, logs_per_def, en_plane, idb, L_pad, NWS):
+    """XLA (non-kernel) tag + id-sum + FSM path; returns the same named
+    plane lists as the fused post kernel.  Kept for A/B measurement — XLA
+    materializes the intermediates to HBM, so the kernel path is the
+    default on TPU."""
+    ids_sum = None
+    start_any = None
+    endf_any = None
+    out: Dict[str, List[jnp.ndarray]] = {}
+    for d, circ in enumerate(circuits):
+        logs = logs_per_def[d]
+        first_bits = [
+            jnp.full(
+                (1, NWS, LANE),
+                -1 if (circ.first_state >> j) & 1 else 0,
+                jnp.int32,
+            )
+            for j in range(circ.sb)
+        ]
+        nxt = [logs[:, j] for j in range(circ.sb)]
+        prv = [
+            jnp.concatenate([first_bits[j], logs[: L_pad - 1, j]], 0)
+            for j in range(circ.sb)
+        ]
+        env = {f"prev{j}": prv[j] for j in range(circ.sb)}
+        env.update({f"next{j}": nxt[j] for j in range(circ.sb)})
+        tag = circ.tag_prog.run(env)
+        idp = [tag[f"id{j}"] & en_plane for j in range(idb)]
+        stp = tag["is_start"] & en_plane
+        efp = tag["is_end"] & en_plane
+        out[f"ids{d}"] = idp
+        out[f"start{d}"] = [stp]
+        out[f"endf{d}"] = [efp]
+        if ids_sum is None:
+            ids_sum, start_any, endf_any = list(idp), stp, efp
+        else:
+            ids_sum = plane_add(ids_sum, idp, idb + d.bit_length() + 1)
+            start_any = start_any | stp
+            endf_any = endf_any | efp
+
+    zrow = jnp.zeros((1, NWS, LANE), jnp.int32)
+    prev_sum = [jnp.concatenate([zrow, p[: L_pad - 1]], 0) for p in ids_sum]
+    changed = None
+    for a, b in zip(ids_sum, prev_sum):
+        x = a ^ b
+        changed = x if changed is None else (changed | x)
+    prev_endf = jnp.concatenate([zrow, endf_any[: L_pad - 1]], 0)
+    is_set = start_any & changed
+    is_reset = ~start_any & prev_endf & changed
+    fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False)
+
+    next_sum = [jnp.concatenate([p[1:], zrow], 0) for p in ids_sum]
+    changed_b = None
+    for a, b in zip(ids_sum, next_sum):
+        x = a ^ b
+        changed_b = x if changed_b is None else (changed_b | x)
+    next_start = jnp.concatenate([start_any[1:], zrow], 0)
+    set_b = endf_any & changed_b
+    reset_b = ~endf_any & next_start & changed_b
+    bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
+    mask = fwd & bwd
+    out["idsum"] = ids_sum
+    out["masked_idsum"] = [p & mask for p in ids_sum]
+    out["fwd"] = [fwd]
+    out["bwd"] = [bwd]
+    out["mask"] = [mask]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # The matcher
 # ---------------------------------------------------------------------------
@@ -202,6 +316,7 @@ class BitplaneMatcher:
         interpret: bool = False,
         max_step_ops: int = 4096,
         compact: bool = True,
+        post: str = "pallas",  # "pallas" (fused tag+FSM kernel) | "xla"
     ):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -223,6 +338,7 @@ class BitplaneMatcher:
                 int(model.dead_states[d]),
                 _substr_pairs(model, d),
                 idb=idb,
+                fold_class=True,
             )
             if c.step_ops > max_step_ops:
                 raise ValueError(
@@ -239,14 +355,15 @@ class BitplaneMatcher:
 
         # ----- per-def Pallas scan kernel -----
         def make_scan(circ: DefCircuits, NWS: int):
-            k, sb = circ.k, circ.sb
+            sb = circ.sb
             live = circ.live_states
+            n_live = len(live)
             NT = min(nws_tile, NWS)
             while NWS % NT != 0:
                 NT -= 1
             n_b = NWS // NT
 
-            def kern(cls_ref, out_ref, st_scr):
+            def kern(bits_ref, out_ref, st_scr):
                 l = pl.program_id(1)
 
                 @pl.when(l == 0)
@@ -258,26 +375,28 @@ class BitplaneMatcher:
                             jnp.int32,
                         )
 
-                def body(i, _):
-                    env = {f"cls{c}": cls_ref[i, c] for c in range(k)}
+                carry0 = tuple(st_scr[j] for j in range(n_live))
+
+                def body(i, carry):
+                    env = {f"byte_bit{j}": bits_ref[i, j] for j in range(8)}
                     env.update(
-                        {f"st{s}": st_scr[j] for j, s in enumerate(live)}
+                        {f"st{s}": carry[j] for j, s in enumerate(live)}
                     )
                     out = circ.step_prog.run(env)
-                    for j, s in enumerate(live):
-                        st_scr[j] = out[f"nst{s}"]
                     for j in range(sb):
                         out_ref[i, j] = out[f"log{j}"]
-                    return 0
+                    return tuple(out[f"nst{s}"] for s in live)
 
-                jax.lax.fori_loop(0, LC, body, 0)
+                final = jax.lax.fori_loop(0, LC, body, carry0)
+                for j in range(n_live):
+                    st_scr[j] = final[j]
 
             return pl.pallas_call(
                 kern,
                 grid=(n_b, n_l),
                 in_specs=[
                     pl.BlockSpec(
-                        (LC, k, NT, LANE),
+                        (LC, 8, NT, LANE),
                         lambda b, l: (l, 0, b, 0),
                         memory_space=pltpu.VMEM,
                     ),
@@ -290,7 +409,7 @@ class BitplaneMatcher:
                 out_shape=jax.ShapeDtypeStruct(
                     (L_pad, sb, NWS, LANE), jnp.int32
                 ),
-                scratch_shapes=[pltpu.VMEM((len(live), NT, LANE), jnp.int32)],
+                scratch_shapes=[pltpu.VMEM((n_live, NT, LANE), jnp.int32)],
                 interpret=interpret,
                 compiler_params=None
                 if interpret
@@ -300,6 +419,158 @@ class BitplaneMatcher:
                     )
                 ),
             )
+
+        self._make_scan = make_scan
+
+        # ----- fused tag + FSM "post" kernel -----
+        # Position-parallel packed-domain work (pair circuit, id-sum adder,
+        # both mask FSM log-scans) in ONE kernel with whole-L blocks tiled
+        # over the word dimension: XLA materializes every intermediate of
+        # this op sequence to HBM (~4.5 ms at B=32k, probe_tpu23); in VMEM
+        # it is a few hundred microseconds of pure VPU bitops.
+        nsum = idb if n_defs == 1 else idb + (n_defs - 1).bit_length() + 1
+        self.nsum = nsum
+        post_plan: List[Tuple[str, int]] = []
+        for d in range(n_defs):
+            post_plan += [(f"ids{d}", idb), (f"start{d}", 1), (f"endf{d}", 1)]
+        post_plan += [
+            ("idsum", nsum),
+            ("masked_idsum", nsum),
+            ("fwd", 1),
+            ("bwd", 1),
+            ("mask", 1),
+        ]
+        post_off: Dict[str, Tuple[int, int]] = {}
+        off = 0
+        for name, nb in post_plan:
+            post_off[name] = (off, nb)
+            off += nb
+        P_total = off
+        self._post_off = post_off
+
+        def make_post(NWS: int):
+            sbs = [c.sb for c in self.circuits]
+
+            def kern(*refs):
+                log_refs = refs[:n_defs]
+                en_ref = refs[n_defs]
+                out_ref = refs[n_defs + 1]
+                en = en_ref[:, 0, 0]  # [L_pad, LANE]
+                zrow = jnp.zeros((1, LANE), jnp.int32)
+
+                def put(name, planes):
+                    o, nb = post_off[name]
+                    for j in range(nb):
+                        out_ref[:, o + j, 0] = (
+                            planes[j] if j < len(planes) else jnp.zeros_like(en)
+                        )
+
+                ids_sum = None
+                start_any = None
+                endf_any = None
+                for d, circ in enumerate(self.circuits):
+                    nxt = [log_refs[d][:, j, 0] for j in range(sbs[d])]
+                    first_bits = [
+                        jnp.full(
+                            (1, LANE),
+                            -1 if (circ.first_state >> j) & 1 else 0,
+                            jnp.int32,
+                        )
+                        for j in range(sbs[d])
+                    ]
+                    prv = [
+                        jnp.concatenate(
+                            [first_bits[j], nxt[j][: L_pad - 1]], 0
+                        )
+                        for j in range(sbs[d])
+                    ]
+                    env = {f"prev{j}": prv[j] for j in range(sbs[d])}
+                    env.update({f"next{j}": nxt[j] for j in range(sbs[d])})
+                    tag = circ.tag_prog.run(env)
+                    idp = [tag[f"id{j}"] & en for j in range(idb)]
+                    stp = tag["is_start"] & en
+                    efp = tag["is_end"] & en
+                    put(f"ids{d}", idp)
+                    put(f"start{d}", [stp])
+                    put(f"endf{d}", [efp])
+                    if ids_sum is None:
+                        ids_sum, start_any, endf_any = list(idp), stp, efp
+                    else:
+                        ids_sum = plane_add(
+                            ids_sum, idp, idb + d.bit_length() + 1
+                        )
+                        start_any = start_any | stp
+                        endf_any = endf_any | efp
+                put("idsum", ids_sum)
+
+                # forward FSM (src/lib.rs:598-645)
+                prev_sum = [
+                    jnp.concatenate([zrow, p[: L_pad - 1]], 0) for p in ids_sum
+                ]
+                changed = None
+                for a, b in zip(ids_sum, prev_sum):
+                    x = a ^ b
+                    changed = x if changed is None else (changed | x)
+                prev_endf = jnp.concatenate([zrow, endf_any[: L_pad - 1]], 0)
+                is_set = start_any & changed
+                is_reset = ~start_any & prev_endf & changed
+                fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False)
+
+                # backward FSM (src/lib.rs:663-714)
+                next_sum = [
+                    jnp.concatenate([p[1:], zrow], 0) for p in ids_sum
+                ]
+                changed_b = None
+                for a, b in zip(ids_sum, next_sum):
+                    x = a ^ b
+                    changed_b = x if changed_b is None else (changed_b | x)
+                next_start = jnp.concatenate([start_any[1:], zrow], 0)
+                set_b = endf_any & changed_b
+                reset_b = ~endf_any & next_start & changed_b
+                bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
+                mask = fwd & bwd
+                put("fwd", [fwd])
+                put("bwd", [bwd])
+                put("mask", [mask])
+                put("masked_idsum", [p & mask for p in ids_sum])
+
+            in_specs = [
+                pl.BlockSpec(
+                    (L_pad, sb, 1, LANE),
+                    lambda b: (0, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for sb in sbs
+            ] + [
+                pl.BlockSpec(
+                    (L_pad, 1, 1, LANE),
+                    lambda b: (0, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            return pl.pallas_call(
+                kern,
+                grid=(NWS,),
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (L_pad, P_total, 1, LANE),
+                    lambda b: (0, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (L_pad, P_total, NWS, LANE), jnp.int32
+                ),
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_post = make_post
 
         model_arrays = dict(
             accepted_states=jnp.asarray(model.accepted_states),
@@ -315,114 +586,80 @@ class BitplaneMatcher:
             NW = B // 32
             NWS = NW // LANE
 
-            # 1. pack byte bit-planes [8, L_pad, NW]
+            # 1. pack byte bit-planes -> kernel input stack
             byte_planes = pack_bytes(chars, L_pad)
-            bp4 = [p.reshape(L_pad, NWS, LANE) for p in byte_planes]
+            bits_stack = jnp.stack(
+                [p.reshape(L_pad, NWS, LANE) for p in byte_planes], axis=1
+            )  # [L_pad, 8, NWS, LANE]
 
-            # enable plane (pos < length), packed
+            # enable plane (pos < length), computed directly in the packed
+            # domain from lengths (no second [B, L] transpose)
             pos = jnp.arange(L, dtype=jnp.int32)
             enable_bl = pos[None, :] < lengths[:, None]  # [B, L] bool
-            en_plane = pack_bool(enable_bl, L_pad).reshape(L_pad, NWS, LANE)
-
-            per_def = []
-            ids_planes_sum = None
-            start_any = None
-            endf_any = None
-            for d, circ in enumerate(self.circuits):
-                # 2. class stage (XLA)
-                env = {f"byte_bit{j}": bp4[j] for j in range(8)}
-                cls_out = circ.class_prog.run(env)
-                cls_stack = jnp.stack(
-                    [cls_out[f"cls{c}"] for c in range(circ.k)], axis=1
-                )  # [L_pad, k, NWS, LANE]
-
-                # 3. scan kernel
-                logs = make_scan(circ, NWS)(cls_stack)  # [L_pad, sb, NWS, LANE]
-
-                # 4. tag (XLA packed): prev/next log planes
-                first_bits = [
-                    jnp.full(
-                        (1, NWS, LANE),
-                        -1 if (circ.first_state >> j) & 1 else 0,
-                        jnp.int32,
-                    )
-                    for j in range(circ.sb)
-                ]
-                nxt = [logs[:, j] for j in range(circ.sb)]
-                prv = [
-                    jnp.concatenate([first_bits[j], logs[: L_pad - 1, j]], 0)
-                    for j in range(circ.sb)
-                ]
-                env = {f"prev{j}": prv[j] for j in range(circ.sb)}
-                env.update({f"next{j}": nxt[j] for j in range(circ.sb)})
-                tag = circ.tag_prog.run(env)
-                idp = [tag[f"id{j}"] & en_plane for j in range(idb)]
-                stp = tag["is_start"] & en_plane
-                efp = tag["is_end"] & en_plane
-
-                per_def.append(dict(logs=nxt, ids=idp, start=stp, endf=efp))
-                if ids_planes_sum is None:
-                    ids_planes_sum = idp
-                    start_any = stp
-                    endf_any = efp
-                else:
-                    ids_planes_sum = plane_add(
-                        ids_planes_sum, idp, idb + d.bit_length() + 1
-                    )
-                    start_any = start_any | stp
-                    endf_any = endf_any | efp
-
-            # 5. FSMs (packed). changed[i] = id_sum[i] != id_sum[i-1]
-            nsum = len(ids_planes_sum)
-            prev_sum = [
-                jnp.concatenate(
-                    [jnp.zeros((1, NWS, LANE), jnp.int32), p[: L_pad - 1]], 0
-                )
-                for p in ids_planes_sum
-            ]
-            changed = None
-            for a, b in zip(ids_planes_sum, prev_sum):
-                x = a ^ b
-                changed = x if changed is None else (changed | x)
-            prev_endf = jnp.concatenate(
-                [jnp.zeros((1, NWS, LANE), jnp.int32), endf_any[: L_pad - 1]], 0
+            len_w = lengths.reshape(NW, 32)
+            pi = jnp.asarray(PI)
+            en_bits = (
+                jnp.arange(L_pad, dtype=jnp.int32)[:, None, None]
+                < len_w[None]
+            ).astype(jnp.int32) << pi
+            en_plane = en_bits.sum(-1, dtype=jnp.int32).reshape(
+                L_pad, NWS, LANE
             )
-            is_set = start_any & changed
-            is_reset = ~start_any & prev_endf & changed
-            hold = ~(is_set | is_reset)
-            fwd_plane = _fsm_log_scan(hold, is_set, reverse=False)
 
-            next_sum = [
-                jnp.concatenate(
-                    [p[1:], jnp.zeros((1, NWS, LANE), jnp.int32)], 0
-                )
-                for p in ids_planes_sum
+            # 2. scan kernel per def (class circuit folded in)
+            logs_per_def = [
+                make_scan(circ, NWS)(bits_stack) for circ in self.circuits
             ]
-            changed_b = None
-            for a, b in zip(ids_planes_sum, next_sum):
-                x = a ^ b
-                changed_b = x if changed_b is None else (changed_b | x)
-            next_start = jnp.concatenate(
-                [start_any[1:], jnp.zeros((1, NWS, LANE), jnp.int32)], 0
-            )
-            # endf_any[j] IS is_end_sum[j+1] (unshifted flag at j)
-            set_b = endf_any & changed_b
-            reset_b = ~endf_any & next_start & changed_b
-            hold_b = ~(set_b | reset_b)
-            bwd_plane = _fsm_log_scan(hold_b, set_b, reverse=True)
-            mask_plane = fwd_plane & bwd_plane
 
-            # 6. unpack to value-domain columns
+            # 3+4. tag + id-sum + mask FSMs
+            if post == "pallas":
+                post_out = make_post(NWS)(
+                    *logs_per_def, en_plane[:, None, :, :]
+                )
+
+                def planes_of(name):
+                    o, nb = self._post_off[name]
+                    return [post_out[:, o + j] for j in range(nb)]
+
+            else:
+                post_planes = _post_xla(
+                    self.circuits, logs_per_def, en_plane, idb, L_pad, NWS
+                )
+
+                def planes_of(name, pp=post_planes):
+                    return pp[name]
+
+            # 5. unpack: one grouped bit-expansion for everything
+            named = [
+                ("idsum", planes_of("idsum")),
+                ("masked_idsum", planes_of("masked_idsum")),
+                ("fwd", planes_of("fwd")),
+                ("bwd", planes_of("bwd")),
+                ("mask", planes_of("mask")),
+            ]
+            for d in range(n_defs):
+                named.append(
+                    (
+                        f"states{d}",
+                        [
+                            logs_per_def[d][:, j]
+                            for j in range(self.circuits[d].sb)
+                        ],
+                    )
+                )
+                named.append((f"ids{d}", planes_of(f"ids{d}")))
+                named.append((f"start{d}", planes_of(f"start{d}")))
+                named.append((f"endf{d}", planes_of(f"endf{d}")))
+            vals = unpack_groups(named, L)
+
             enable = enable_bl.astype(val_dtype)
             chars_v = chars.astype(val_dtype) * enable
-            fwd = unpack_planes([fwd_plane], L, val_dtype)
-            bwd = unpack_planes([bwd_plane], L, val_dtype)
-            mask = unpack_planes([mask_plane], L, val_dtype)
+            fwd = vals["fwd"].astype(val_dtype)
+            bwd = vals["bwd"].astype(val_dtype)
+            mask = vals["mask"].astype(val_dtype)
             sum_dtype = val_dtype if nsum <= 8 else jnp.int32
-            substr_id_sum = unpack_planes(ids_planes_sum, L, sum_dtype)
-            all_ids = unpack_planes(
-                [p & mask_plane for p in ids_planes_sum], L, sum_dtype
-            )
+            substr_id_sum = vals["idsum"].astype(sum_dtype)
+            all_ids = vals["masked_idsum"].astype(sum_dtype)
             masked_chars = mask * chars_v
 
             states_list = []
@@ -431,12 +668,11 @@ class BitplaneMatcher:
             end_en_list = []
             start_sum = None
             end_sum = None
-            for d, (circ, pd) in enumerate(zip(self.circuits, per_def)):
-                after = unpack_planes(pd["logs"], L, jnp.int32)  # [B, L]
-                states_list.append(after)
-                ids_list.append(unpack_planes(pd["ids"], L, val_dtype))
-                st_v = unpack_planes([pd["start"]], L, val_dtype)
-                ef_v = unpack_planes([pd["endf"]], L, val_dtype)
+            for d in range(n_defs):
+                states_list.append(vals[f"states{d}"])  # int32 [B, L]
+                ids_list.append(vals[f"ids{d}"].astype(val_dtype))
+                st_v = vals[f"start{d}"].astype(val_dtype)
+                ef_v = vals[f"endf{d}"].astype(val_dtype)
                 start_en_list.append(st_v)
                 end_en_list.append(ef_v)
                 start_sum = st_v if start_sum is None else start_sum + st_v
@@ -500,6 +736,11 @@ class BitplaneMatcher:
             out = self._run(chars, lengths)
             return RegexResult(**{k: v[:B] for k, v in out.items()})
         return RegexResult(**self._run(chars, lengths))
+
+    def scan_planes(self, bits_stack: jnp.ndarray, d: int = 0) -> jnp.ndarray:
+        """Run just the sequential scan kernel for def ``d`` on a prepared
+        byte-bit-plane stack [L_pad, 8, NWS, 128] (profiling hook)."""
+        return self._make_scan(self.circuits[d], bits_stack.shape[2])(bits_stack)
 
     def match_one(self, characters: bytes) -> RegexResult:
         L = self.model.max_chars_size

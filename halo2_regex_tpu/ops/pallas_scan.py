@@ -142,17 +142,6 @@ class PallasMatcher:
         L = model.max_chars_size
         S = model.s_pad
         n_defs = model.n_defs
-        if not batch_tile:
-            # Auto-size the batch tile: the flat kernel's double-buffered
-            # blocks are ~2*L*4*(4*n_defs+3)*TB bytes and the usable scoped
-            # VMEM tops out near ~56 MB on this part (probe_tpu16: 3-def
-            # TB=512 at ~63 MB fails, 1-def TB=1024 at ~57 MB works).
-            budget = int(float(__import__("os").environ.get(
-                "H2R_VMEM_BUDGET", 56e6)))
-            per_tb = 2 * L * 4 * (4 * n_defs + 3)
-            batch_tile = max(128, min(512, (budget // per_tb) // 128 * 128))
-        self.batch_tile = batch_tile
-        TB = batch_tile
         if grid_mode == "batch":
             chunk = L
         LC = min(chunk, L)
@@ -287,13 +276,59 @@ class PallasMatcher:
         self.mode = mode
         self.pair_info = pair_info
 
+        if not batch_tile:
+            # Auto-size the batch tile to the usable scoped-VMEM ceiling
+            # (~56 MB on this part: probe_tpu16 — 3-def TB=512 at ~63 MB
+            # fails, 1-def TB=1024 at ~57 MB works). Per-TB residency is
+            # the largest kernel's double-buffered blocks:
+            #   monolithic flat kernel: chars+lengths+6 outputs
+            #     ≈ 2·L·4·(4·n_defs + 3) bytes;
+            #   split mode: the widest of scan (n_defs+1), tag (4·n_defs)
+            #     and fsm (3·n_defs + 2) kernels.
+            budget = int(float(__import__("os").environ.get(
+                "H2R_VMEM_BUDGET", 56e6)))
+            if mode == "split":
+                blocks = max(n_defs + 1, 4 * n_defs, 3 * n_defs + 2)
+            else:
+                blocks = 4 * n_defs + 3
+            per_tb = 2 * L * 4 * blocks
+            batch_tile = max(128, min(1024, (budget // per_tb) // 128 * 128))
+        self.batch_tile = batch_tile
+        TB = batch_tile
+
+        # Long sequences cannot hold whole-L blocks in VMEM (BASELINE
+        # configs[3]: 64 KB inputs).  Split mode then streams L in chunks
+        # over a 2D (batch, chunk) grid with state/FSM carries in scratch —
+        # the Mosaic multi-dim-grid+scratch crash that blocked this in
+        # round 1 is fixed on the current toolchain (tools/probe_tpu21.py D).
+        budget_chk = int(float(__import__("os").environ.get(
+            "H2R_VMEM_BUDGET", 56e6)))
+        split_blocks = max(n_defs + 1, 4 * n_defs, 3 * n_defs + 2)
+        if (
+            mode == "split"
+            and grid_mode == "batch"
+            and 2 * L * 4 * split_blocks * TB > budget_chk
+        ):
+            grid_mode = "chunked"
+        self.grid_mode = grid_mode
+        if mode == "split" and grid_mode == "chunked":
+            LCC = min(
+                int(__import__("os").environ.get("H2R_SPLIT_CHUNK", 1024)), L
+            )
+            while L % LCC != 0:
+                LCC //= 2
+        else:
+            LCC = L
+        self.chunk_split = LCC
+        n_lc = L // LCC
+
         # Stride-2 scanning: compose byte PAIRS at the class level. With k
         # classes per def and k^2 <= 256, the pair class id is plain
         # arithmetic (cls_a * k + cls_b) and the sequential chain halves;
         # the intermediate (odd) states are reconstructed off-chain.
         stride = 2
         pair_tabs = None
-        if hi_lo:
+        if hi_lo or (mode == "split" and grid_mode == "chunked"):
             stride = 1
         elif mode == "split":
             for d in range(n_defs):
@@ -539,6 +574,8 @@ class PallasMatcher:
 
         SLAB = min(slab, L)
         while L % SLAB != 0:
+            SLAB //= 2
+        while LCC % SLAB != 0:  # chunked scan unrolls SLAB steps per slab
             SLAB //= 2
         n_slab = L // SLAB
         self.slab = SLAB
@@ -1049,6 +1086,206 @@ class PallasMatcher:
             hold_b = (1 - set_b) * (1 - reset_b)
             bwd_ref[:] = log_scan(hold_b, set_b, reverse=True)
 
+        # ---------------- chunked split-mode kernels ----------------
+        # Stream L in LCC-position chunks over a (batch, chunk) 2D grid;
+        # per-kernel carries live in scratch and persist across the
+        # sequentially-iterated chunk dimension (BASELINE configs[3]).
+        def scan_kernel_chunked(ctab_ref, raw_ref, chars_ref, states_ref,
+                                st_scr):
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                for d in range(n_defs):
+                    st_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
+
+            def class_of(c, cls0, terms, use_classes):
+                if not use_classes:
+                    return c
+                cls = jnp.full((TB,), cls0, jnp.int32)
+                for b_r, delta in terms:
+                    cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                return cls
+
+            def onehot_cols(cls, kdim, tbl):
+                onehot = (
+                    cls[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                ).astype(jnp.bfloat16)
+                return jnp.dot(
+                    onehot, tbl, preferred_element_type=jnp.float32
+                ).astype(jnp.int32)
+
+            n_slab_c = LCC // SLAB
+            for d in range(n_defs):
+                use_classes, cls0, terms, ctab = class_info[d]
+                width = 2 * S if hi_lo else S
+                tbl = (
+                    ctab_ref[d][:, 0:width]
+                    if use_classes
+                    else raw_ref[d][:, 0:width]
+                ).astype(jnp.bfloat16)
+                kdim = tbl.shape[0]
+
+                def slab_body(t, s, d=d, tbl=tbl, use_classes=use_classes,
+                              cls0=cls0, terms=terms, kdim=kdim):
+                    base = t * SLAB
+                    c_slab = chars_ref[pl.ds(base, SLAB), :]
+                    cols = [
+                        onehot_cols(
+                            class_of(c_slab[j], cls0, terms, use_classes),
+                            kdim,
+                            tbl,
+                        )
+                        for j in range(SLAB)
+                    ]
+                    outs = []
+                    for j in range(SLAB):
+                        sel = (
+                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                            == s[:, None]
+                        ).astype(jnp.int32)
+                        if hi_lo:
+                            lo = jnp.sum(cols[j][:, 0:S] * sel, axis=-1)
+                            hi = jnp.sum(cols[j][:, S : 2 * S] * sel, axis=-1)
+                            s = lo + 256 * hi
+                        else:
+                            s = jnp.sum(cols[j] * sel, axis=-1)
+                        outs.append(s)
+                    states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
+                    return s
+
+                st_scr[d, :] = jax.lax.fori_loop(
+                    0, n_slab_c, slab_body, st_scr[d, :]
+                )
+
+        def tag_kernel_chunked(states_ref, lengths_ref, ids_ref, start_ref,
+                               endf_ref, prev_scr):
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                for d in range(n_defs):
+                    prev_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
+
+            lengths = lengths_ref[0, :]
+            base = l * LCC
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, (LCC, TB), 0)
+            en = (pos < lengths[None, :]).astype(jnp.int32)
+            for d in range(n_defs):
+                nxt = states_ref[d]
+                prev = jnp.concatenate(
+                    [prev_scr[d, :][None, :], nxt[: LCC - 1]], axis=0
+                )
+                ids = jnp.zeros((LCC, TB), jnp.int32)
+                st = jnp.zeros((LCC, TB), jnp.int32)
+                ef = jnp.zeros((LCC, TB), jnp.int32)
+                for a, b, gid, s_flag, e_flag in pair_info[d]:
+                    m = ((prev == a) & (nxt == b)).astype(jnp.int32)
+                    ids = ids + gid * m
+                    if s_flag:
+                        st = st + m
+                    if e_flag:
+                        ef = ef + m
+                ids_ref[d] = ids * en
+                start_ref[d] = st * en
+                endf_ref[d] = ef * en
+                prev_scr[d, :] = nxt[LCC - 1]
+
+        def _log_scan_pair(a, b, n, reverse):
+            """Inclusive affine-map composition along axis 0 of [n, TB]
+            arrays; returns (A, B) so value[i] = A[i]*entry + B[i]."""
+            shift = 1
+            while shift < n:
+                if not reverse:
+                    a_prev = jnp.concatenate(
+                        [jnp.ones((shift, TB), jnp.int32), a[: n - shift]], 0
+                    )
+                    b_prev = jnp.concatenate(
+                        [jnp.zeros((shift, TB), jnp.int32), b[: n - shift]], 0
+                    )
+                else:
+                    a_prev = jnp.concatenate(
+                        [a[shift:], jnp.ones((shift, TB), jnp.int32)], 0
+                    )
+                    b_prev = jnp.concatenate(
+                        [b[shift:], jnp.zeros((shift, TB), jnp.int32)], 0
+                    )
+                a, b = a_prev * a, a * b_prev + b
+                shift *= 2
+            return a, b
+
+        def _sum_defs(ref):
+            acc = ref[0]
+            for d in range(1, n_defs):
+                acc = acc + ref[d]
+            return acc
+
+        def fsm_fwd_chunked(ids_ref, start_ref, endf_ref, fwd_ref, carry_scr):
+            # carry: [0] last mask value, [1] last ids_sum, [2] last endf_sum
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
+
+            ids_sum = _sum_defs(ids_ref)
+            st_sum = _sum_defs(start_ref)
+            ef_sum = _sum_defs(endf_ref)
+            prev_ids = jnp.concatenate(
+                [carry_scr[1, :][None, :], ids_sum[: LCC - 1]], 0
+            )
+            prev_ef = jnp.concatenate(
+                [carry_scr[2, :][None, :], ef_sum[: LCC - 1]], 0
+            )
+            changed = (prev_ids != ids_sum).astype(jnp.int32)
+            is_set = ((st_sum > 0) & (changed > 0)).astype(jnp.int32)
+            is_reset = (
+                (st_sum == 0) & (prev_ef > 0) & (changed > 0)
+            ).astype(jnp.int32)
+            hold = (1 - is_set) * (1 - is_reset)
+            A, Bv = _log_scan_pair(hold, is_set, LCC, reverse=False)
+            fwd = A * carry_scr[0, :][None, :] + Bv
+            fwd_ref[:] = fwd
+            carry_scr[0, :] = fwd[LCC - 1]
+            carry_scr[1, :] = ids_sum[LCC - 1]
+            carry_scr[2, :] = ef_sum[LCC - 1]
+
+        def fsm_bwd_chunked(ids_ref, start_ref, endf_ref, bwd_ref, carry_scr):
+            # reversed chunk order via index maps; carry: [0] entry mask,
+            # [1] ids_sum row 0 of the later chunk, [2] st_sum row 0
+            l = pl.program_id(1)
+
+            @pl.when(l == 0)
+            def _():
+                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
+                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
+
+            ids_sum = _sum_defs(ids_ref)
+            st_sum = _sum_defs(start_ref)
+            ef_sum = _sum_defs(endf_ref)
+            next_ids = jnp.concatenate(
+                [ids_sum[1:], carry_scr[1, :][None, :]], 0
+            )
+            next_st = jnp.concatenate(
+                [st_sum[1:], carry_scr[2, :][None, :]], 0
+            )
+            changed = (next_ids != ids_sum).astype(jnp.int32)
+            set_b = ((ef_sum > 0) & (changed > 0)).astype(jnp.int32)
+            reset_b = (
+                (ef_sum == 0) & (next_st > 0) & (changed > 0)
+            ).astype(jnp.int32)
+            hold_b = (1 - set_b) * (1 - reset_b)
+            A, Bv = _log_scan_pair(hold_b, set_b, LCC, reverse=True)
+            bwd = A * carry_scr[0, :][None, :] + Bv
+            bwd_ref[:] = bwd
+            carry_scr[0, :] = bwd[0]
+            carry_scr[1, :] = ids_sum[0]
+            carry_scr[2, :] = st_sum[0]
+
         _vmem_params = (
             None
             if interpret
@@ -1058,6 +1295,71 @@ class PallasMatcher:
                 )
             )
         )
+
+        def make_scan_chunked(B):
+            return pl.pallas_call(
+                scan_kernel_chunked,
+                grid=(B // TB, n_lc),
+                in_specs=[
+                    pl.BlockSpec(tables_c.shape, lambda b, l: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(tables_raw.shape, lambda b, l: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((LCC, TB), lambda b, l: (l, b),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_defs, LCC, TB), lambda b, l: (0, l, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((n_defs, TB), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def make_tag_chunked(B):
+            return pl.pallas_call(
+                tag_kernel_chunked,
+                grid=(B // TB, n_lc),
+                in_specs=[
+                    pl.BlockSpec((n_defs, LCC, TB), lambda b, l: (0, l, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda b, l: (0, b),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((n_defs, LCC, TB), lambda b, l: (0, l, b),
+                                 memory_space=pltpu.VMEM)
+                ] * 3,
+                out_shape=[jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32)] * 3,
+                scratch_shapes=[pltpu.VMEM((n_defs, TB), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def make_fsm_chunked(B, reverse):
+            rev3 = lambda b, l: (0, n_lc - 1 - l, b)
+            rev2 = lambda b, l: (n_lc - 1 - l, b)
+            fw3 = lambda b, l: (0, l, b)
+            fw2 = lambda b, l: (l, b)
+            return pl.pallas_call(
+                fsm_bwd_chunked if reverse else fsm_fwd_chunked,
+                grid=(B // TB, n_lc),
+                in_specs=[
+                    pl.BlockSpec((n_defs, LCC, TB),
+                                 rev3 if reverse else fw3,
+                                 memory_space=pltpu.VMEM)
+                ] * 3,
+                out_specs=pl.BlockSpec(
+                    (LCC, TB), rev2 if reverse else fw2,
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
+                scratch_shapes=[pltpu.VMEM((3, TB), jnp.int32)],
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
 
         tables_pair = jnp.asarray(
             pair_tabs if pair_tabs is not None else np.zeros((n_defs, 8, S), np.float32)
@@ -1128,7 +1430,18 @@ class PallasMatcher:
         def run(chars, lengths):
             B = chars.shape[0]
             ctm = chars.astype(jnp.int32).T  # [L, B]
-            if mode == "split":
+            if mode == "split" and self.grid_mode == "chunked":
+                states_tm = make_scan_chunked(B)(tables_c, tables_raw, ctm)
+                ids_tm, start_tm, endf_tm = make_tag_chunked(B)(
+                    states_tm, lengths[None, :]
+                )
+                fwd_tm = make_fsm_chunked(B, reverse=False)(
+                    ids_tm, start_tm, endf_tm
+                )
+                bwd_tm = make_fsm_chunked(B, reverse=True)(
+                    ids_tm, start_tm, endf_tm
+                )
+            elif mode == "split":
                 states_tm = make_scan(B)(tables_c, tables_raw, tables_pair, ctm)
                 ids_tm, start_tm, endf_tm = make_tag(B)(
                     states_tm, lengths[None, :]

@@ -59,6 +59,23 @@ def scan_roofline_bytes_per_sec(device=None, traffic: Optional[ScanTraffic] = No
     return spec["hbm_gbps"] / t.total
 
 
+def result_nbytes(result) -> int:
+    """Total bytes of every materialized array in a witness result (the
+    emitted witness traffic — BASELINE's witness-rows metric measures this
+    against the ScanTraffic model rather than assuming it)."""
+    total = 0
+    if hasattr(result, "astuple"):
+        result = list(result.astuple())
+    for leaf in jax.tree.leaves(result):
+        n = getattr(leaf, "nbytes", None)
+        if n is None:
+            import numpy as np
+
+            n = np.asarray(leaf).nbytes
+        total += int(n)
+    return total
+
+
 def _fetch(out):
     """Force a real host fetch. On tunneled/relayed devices
     ``block_until_ready`` may resolve before remote execution completes, so

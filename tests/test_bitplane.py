@@ -186,3 +186,12 @@ def test_bitplane_noncompact_dtypes(model3):
     res = m.match_one(s)
     oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
     assert_same(res, oracle)
+
+
+def test_bitplane_post_xla_variant(model12):
+    """The non-kernel tag/FSM path (A/B fallback) stays bit-exact."""
+    m = BitplaneMatcher(model12, interpret=True, post="xla")
+    s = b"email was meant for @y. Also for x."
+    res = m.match_one(s)
+    oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+    assert_same(res, oracle)

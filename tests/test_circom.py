@@ -68,3 +68,122 @@ def test_multi_accept_rejected():
     )
     with pytest.raises(ValueError, match="accept"):
         gen_circom_allstr(cfg.compile_dfa(), "T")
+
+
+# ---------------------------------------------------------------------------
+# Semantic equivalence: execute the emitted circuit text and compare against
+# an independent forward model of the DFA (VERDICT r1 item 5 — no node/deno
+# in this environment to regenerate the reference's own output, and its
+# HashSet reveal order is nondeterministic, so equivalence is checked by
+# EVALUATION rather than byte-diff; our sorted emission order is pinned by
+# the structural tests above).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from halo2_regex_tpu.compiler.circom_sim import CircomSim
+from halo2_regex_tpu.compiler.pipeline import (
+    edge_key_chars,
+    get_accepted_state,
+    sorted_edge_items,
+)
+from fixtures import CONFIGS
+
+
+def _forward_model(nodes, msg: bytes, msg_bytes: int):
+    """Independent forward evaluation of the circom DFA semantics: one-hot
+    states over [128] + msg, state 0 = not-any-other, with the ^(94)->128
+    init-char rewiring (circom.js:20-24, 322) implemented forward (the
+    emitter builds the reversed graph)."""
+    N = len(nodes)
+    base = []  # (src, dst, codes)
+    init_going_state = None
+    to_init = [[] for _ in range(N)]
+    for i, node in enumerate(nodes):
+        for key, v in sorted_edge_items(node.edges):
+            codes = [ord(c) for c in edge_key_chars(key)]
+            if i == 0:
+                if 94 in codes:
+                    init_going_state = v
+                    codes = [128 if c == 94 else c for c in codes]
+                for c in codes:
+                    if c != 128:
+                        to_init[v].append(c)
+            base.append((i, v, set(codes)))
+    if init_going_state is not None:
+        for v, cs in enumerate(to_init):
+            if cs:
+                base.append((init_going_state, v, set(cs)))
+
+    inp = [128] + list(msg) + [0] * (msg_bytes - len(msg))
+    states = [[0] * N]
+    states[0][0] = 1
+    changed = []
+    for c in inp:
+        cur = states[-1]
+        nxt = [0] * N
+        for s, v, codes in base:
+            if v != 0 and cur[s] and c in codes:
+                nxt[v] = 1
+        ch = 1 if any(nxt[1:]) else 0
+        nxt[0] = 1 - ch
+        changed.append(ch)
+        states.append(nxt)
+    return states, changed
+
+
+CIRCOM_CASES = [
+    ("regex3", b"from:alice@gmail.com\r\n"),
+    ("regex3", b"dummy\r\nfrom:alice<alice@gmail.com>\r\n"),
+    ("regex3", b"from:alice<alicegmail.com>\r\n"),
+    ("regex3", b""),
+    ("regex1", b"email was meant for @yajk."),
+    ("regex2", b". Also for swq."),
+]
+
+
+@pytest.mark.parametrize("name,msg", CIRCOM_CASES)
+def test_circom_semantic_equivalence(name, msg):
+    cfg = DecomposedRegexConfig.from_json(CONFIGS[name])
+    nodes = cfg.compile_dfa()
+    text = gen_circom(cfg, None, "T")
+    msg_bytes = 48
+    sim = CircomSim(text, msg, msg_bytes)
+    states, changed = _forward_model(nodes, msg, msg_bytes)
+    assert sim.states == states, "one-hot state evolution diverged"
+    assert sim.state_changed == changed
+    acc = get_accepted_state(nodes)
+    assert sim.out == (1 if any(s[acc] for s in states) else 0)
+
+
+def test_circom_reveal_semantics():
+    """The reveal output must light exactly the substring the DFA tags
+    (evaluated, vs the pair sets + is_consecutive recurrence computed
+    directly from the simulated states)."""
+    cfg = DecomposedRegexConfig.from_json(CONFIGS["regex3"])
+    nodes = cfg.compile_dfa()
+    text = gen_circom(cfg, None, "T")
+    msg = b"from:alice@gmail.com\r\n"
+    msg_bytes = 48
+    sim = CircomSim(text, msg, msg_bytes)
+    substr_defs_array, _, _ = cfg.extract_substr_ids(nodes)
+    pairs = substr_defs_array[0]
+    mb = msg_bytes
+    cons = [[0, 0] for _ in range(mb + 1)]
+    cons[mb][1] = 1
+    acc = get_accepted_state(nodes)
+    for i in range(mb):
+        j = mb - 1 - i
+        cons[j][0] = sim.states[mb + 1 - i][acc] * (1 - cons[j + 1][1]) + cons[j + 1][1]
+        cons[j][1] = sim.state_changed[mb - i] * cons[j][0]
+    expect = [
+        sim.inp[i + 1]
+        * sum(
+            sim.states[i + 1][a] * sim.states[i + 2][b] for (a, b) in pairs
+        )
+        * cons[i][1]
+        for i in range(mb)
+    ]
+    assert sim.reveals[0] == expect
+    revealed = bytes(v for v in sim.reveals[0] if v)
+    assert revealed == b"alice@gmail.com"

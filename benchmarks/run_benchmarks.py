@@ -37,27 +37,12 @@ def _report(name, **kw):
 def _best_matcher(model, batch=0):
     """Bit-sliced bitplane pipeline on TPU (the fast path for synthesizable
     DFAs), then the fused split Pallas kernels, then the XLA scan."""
-    import jax
+    from halo2_regex_tpu.ops import best_matcher
 
-    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
-
-    if jax.devices()[0].platform == "tpu":
-        if not os.environ.get("H2R_BENCH_NO_BITPLANE"):
-            try:
-                from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
-
-                return BitplaneMatcher(model), "bitplane"
-            except Exception as e:
-                print(f"# bitplane unavailable ({type(e).__name__}: "
-                      f"{str(e)[:120]})", file=sys.stderr)
-        try:
-            from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
-
-            return PallasMatcher(model), "pallas"
-        except Exception as e:
-            print(f"# pallas unavailable ({type(e).__name__}: {str(e)[:120]})",
-                  file=sys.stderr)
-    return BatchMatcher(model), "xla"
+    backend = "auto"
+    if os.environ.get("H2R_BENCH_NO_BITPLANE"):
+        backend = "pallas"
+    return best_matcher(model, backend=backend)
 
 
 def _throughput(matcher, chars, lengths, iters):

@@ -63,8 +63,9 @@ def _cmd_compile(args) -> int:
 
 def _cmd_match(args) -> int:
     from .models.compiled import CompiledRegexModel
+    from .ops import best_matcher
     from .ops.reference import extract_substrings
-    from .ops.scan_jax import BatchMatcher, pack_batch
+    from .ops.scan_jax import pack_batch
 
     model = CompiledRegexModel.load(args.model)
     if args.input_file:
@@ -75,7 +76,7 @@ def _cmd_match(args) -> int:
     if not strings:
         print("no input strings", file=sys.stderr)
         return 2
-    matcher = BatchMatcher(model)
+    matcher, _ = best_matcher(model, backend=args.backend)
     import numpy as np
 
     chars, lengths = pack_batch(strings, model.max_chars_size)
@@ -138,13 +139,13 @@ def _cmd_scan(args) -> int:
     import numpy as np
 
     from .models.compiled import CompiledRegexModel
+    from .ops import best_matcher
     from .ops.reference import extract_substrings
-    from .ops.scan_jax import BatchMatcher
     from .utils.io import CorpusLoader
     from .utils.trace import Counters
 
     model = CompiledRegexModel.load(args.model)
-    matcher = BatchMatcher(model)
+    matcher, _ = best_matcher(model, backend=args.backend)
     loader = CorpusLoader(
         args.corpus, max_len=model.max_chars_size, batch_size=args.batch
     )
@@ -185,14 +186,14 @@ def _cmd_bench(args) -> int:
     import numpy as np
 
     from .models.compiled import CompiledRegexModel
-    from .ops.scan_jax import BatchMatcher
+    from .ops import best_matcher
 
     model = CompiledRegexModel.load(args.model)
     rng = np.random.default_rng(0)
     B, L = args.batch, model.max_chars_size
     chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
     lengths = np.full((B,), L, np.int32)
-    matcher = BatchMatcher(model)
+    matcher, backend_name = best_matcher(model, backend=args.backend)
     import jax
 
     out = matcher(chars, lengths)
@@ -205,7 +206,8 @@ def _cmd_bench(args) -> int:
     print(
         json.dumps(
             {
-                "backend": jax.devices()[0].platform,
+                "backend": backend_name,
+                "platform": jax.devices()[0].platform,
                 "batch": B,
                 "max_chars": L,
                 "sec_per_batch": dt,
@@ -247,6 +249,8 @@ def main(argv=None) -> int:
     p.add_argument("--lines", action="store_true", help="treat input file as one string per line")
     p.add_argument("--strict", action="store_true", help="exit 1 if any input fails")
     p.add_argument("strings", nargs="*")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bitplane", "pallas", "xla"])
     p.set_defaults(fn=_cmd_match)
 
     p = sub.add_parser("explain", help="per-byte trace of one match")
@@ -259,12 +263,16 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--print-matches", action="store_true")
     p.add_argument("corpus", nargs="+", help="newline-delimited corpus file(s)")
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bitplane", "pallas", "xla"])
     p.set_defaults(fn=_cmd_scan)
 
     p = sub.add_parser("bench", help="throughput measurement")
     p.add_argument("--model", required=True)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--backend", default="auto",
+                   choices=["auto", "bitplane", "pallas", "xla"])
     p.set_defaults(fn=_cmd_bench)
 
     args = parser.parse_args(argv)

@@ -119,8 +119,10 @@ def pack_bool(col: jnp.ndarray, L_pad: int) -> jnp.ndarray:
 
 
 def unpack_planes(planes: List[jnp.ndarray], L: int, out_dtype=jnp.uint8):
-    """List of NB planes [L_pad, ...] -> values [B, L] (bit j of the value
-    from planes[j]; PI bit order inverted)."""
+    """List of NB planes -> values [B, L] (bit j of the value from
+    planes[j]; PI bit order inverted).  Planes are NWS-major
+    [NWS, L_pad, LANE] (the scan/post kernel layout) or L-major
+    [L_pad, NW]."""
     acc = _unpack_raw(planes, L)
     return acc.astype(out_dtype)
 
@@ -129,11 +131,14 @@ def _unpack_raw(planes: List[jnp.ndarray], L: int) -> jnp.ndarray:
     pi = jnp.asarray(PI)
     acc = None
     for j, p in enumerate(planes):
-        p = p.reshape(p.shape[0], -1)
-        v = ((p[:L, :, None] >> pi) & 1) << j
+        if p.ndim == 2:  # [L_pad, NW] L-major
+            p = p.reshape(p.shape[0], -1, LANE).transpose(1, 0, 2)
+        v = ((p[:, :L, :, None] >> pi) & 1) << j  # [NWS, L, LANE, 32]
         acc = v if acc is None else acc | v
-    NW = planes[0].reshape(planes[0].shape[0], -1).shape[-1]
-    return acc.reshape(L, NW * 32).T  # [B, L] int32
+    NWS = acc.shape[0]
+    B = NWS * LANE * 32
+    # string g at (nws, lane, r): g = (nws*LANE + lane)*32 + r
+    return acc.transpose(1, 0, 2, 3).reshape(L, B).T  # [B, L] int32
 
 
 def unpack_groups(
@@ -187,59 +192,75 @@ def plane_add(a: List[jnp.ndarray], b: List[jnp.ndarray], n_out: int):
     return out
 
 
-def _fsm_log_scan(hold: jnp.ndarray, setp: jnp.ndarray, reverse: bool):
-    """Inclusive scan of 1-bit affine maps x' = hold·x + set along axis 0.
+def _fsm_log_scan(
+    hold: jnp.ndarray, setp: jnp.ndarray, reverse: bool, axis: int = 0
+):
+    """Inclusive scan of 1-bit affine maps x' = hold·x + set along ``axis``.
 
     Maps compose (earlier-then-later) as (h1·h2, h2·s1 + s2); log2(L)
     rounds of compose-with-shifted-self. Returns the per-position value
     applied to initial state 0 (= the composed ``set`` bit).
     (Reference FSM semantics: src/lib.rs:598-714.)
     """
-    L = hold.shape[0]
+    L = hold.shape[axis]
+
+    def take(x, sl):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = sl
+        return x[tuple(idx)]
+
+    def pad_shape(x, n):
+        shape = list(x.shape)
+        shape[axis] = n
+        return tuple(shape)
+
     a, b = hold, setp
     shift = 1
     while shift < L:
+        ones = jnp.full(pad_shape(a, shift), -1, a.dtype)
+        zeros = jnp.zeros(pad_shape(b, shift), b.dtype)
         if not reverse:
-            a_prev = jnp.concatenate(
-                [jnp.full((shift,) + a.shape[1:], -1, a.dtype), a[: L - shift]], 0
-            )
-            b_prev = jnp.concatenate(
-                [jnp.zeros((shift,) + b.shape[1:], b.dtype), b[: L - shift]], 0
-            )
+            a_prev = jnp.concatenate([ones, take(a, slice(0, L - shift))], axis)
+            b_prev = jnp.concatenate([zeros, take(b, slice(0, L - shift))], axis)
         else:
-            a_prev = jnp.concatenate(
-                [a[shift:], jnp.full((shift,) + a.shape[1:], -1, a.dtype)], 0
-            )
-            b_prev = jnp.concatenate(
-                [b[shift:], jnp.zeros((shift,) + b.shape[1:], b.dtype)], 0
-            )
+            a_prev = jnp.concatenate([take(a, slice(shift, None)), ones], axis)
+            b_prev = jnp.concatenate([take(b, slice(shift, None)), zeros], axis)
         a, b = a_prev & a, (a & b_prev) | b
         shift *= 2
     return b
 
 
 def _post_xla(circuits, logs_per_def, en_plane, idb, L_pad, NWS):
-    """XLA (non-kernel) tag + id-sum + FSM path; returns the same named
-    plane lists as the fused post kernel.  Kept for A/B measurement — XLA
-    materializes the intermediates to HBM, so the kernel path is the
-    default on TPU."""
+    """XLA (non-kernel) tag + id-sum + FSM path on NWS-major planes
+    [NWS, L_pad, LANE]; returns the same named plane lists as the fused
+    post kernel.  Kept for A/B measurement — XLA materializes the
+    intermediates to HBM, so the kernel path is the default on TPU."""
+
+    def shift_down(p, first_row):  # p[l] := p[l-1], row 0 := first_row
+        return jnp.concatenate([first_row, p[:, : L_pad - 1]], axis=1)
+
+    def shift_up(p):  # p[l] := p[l+1], last row := 0
+        return jnp.concatenate(
+            [p[:, 1:], jnp.zeros((NWS, 1, LANE), jnp.int32)], axis=1
+        )
+
+    zrow = jnp.zeros((NWS, 1, LANE), jnp.int32)
     ids_sum = None
     start_any = None
     endf_any = None
     out: Dict[str, List[jnp.ndarray]] = {}
     for d, circ in enumerate(circuits):
-        logs = logs_per_def[d]
-        first_bits = [
-            jnp.full(
-                (1, NWS, LANE),
-                -1 if (circ.first_state >> j) & 1 else 0,
-                jnp.int32,
-            )
-            for j in range(circ.sb)
-        ]
+        logs = logs_per_def[d]  # [NWS, sb, L_pad, LANE]
         nxt = [logs[:, j] for j in range(circ.sb)]
         prv = [
-            jnp.concatenate([first_bits[j], logs[: L_pad - 1, j]], 0)
+            shift_down(
+                nxt[j],
+                jnp.full(
+                    (NWS, 1, LANE),
+                    -1 if (circ.first_state >> j) & 1 else 0,
+                    jnp.int32,
+                ),
+            )
             for j in range(circ.sb)
         ]
         env = {f"prev{j}": prv[j] for j in range(circ.sb)}
@@ -258,26 +279,25 @@ def _post_xla(circuits, logs_per_def, en_plane, idb, L_pad, NWS):
             start_any = start_any | stp
             endf_any = endf_any | efp
 
-    zrow = jnp.zeros((1, NWS, LANE), jnp.int32)
-    prev_sum = [jnp.concatenate([zrow, p[: L_pad - 1]], 0) for p in ids_sum]
+    prev_sum = [shift_down(p, zrow) for p in ids_sum]
     changed = None
     for a, b in zip(ids_sum, prev_sum):
         x = a ^ b
         changed = x if changed is None else (changed | x)
-    prev_endf = jnp.concatenate([zrow, endf_any[: L_pad - 1]], 0)
+    prev_endf = shift_down(endf_any, zrow)
     is_set = start_any & changed
     is_reset = ~start_any & prev_endf & changed
-    fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False)
+    fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False, axis=1)
 
-    next_sum = [jnp.concatenate([p[1:], zrow], 0) for p in ids_sum]
+    next_sum = [shift_up(p) for p in ids_sum]
     changed_b = None
     for a, b in zip(ids_sum, next_sum):
         x = a ^ b
         changed_b = x if changed_b is None else (changed_b | x)
-    next_start = jnp.concatenate([start_any[1:], zrow], 0)
+    next_start = shift_up(start_any)
     set_b = endf_any & changed_b
     reset_b = ~endf_any & next_start & changed_b
-    bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
+    bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True, axis=1)
     mask = fwd & bwd
     out["idsum"] = ids_sum
     out["masked_idsum"] = [p & mask for p in ids_sum]
@@ -384,7 +404,7 @@ class BitplaneMatcher:
                     )
                     out = circ.step_prog.run(env)
                     for j in range(sb):
-                        out_ref[i, j] = out[f"log{j}"]
+                        out_ref[:, j, i] = out[f"log{j}"]
                     return tuple(out[f"nst{s}"] for s in live)
 
                 final = jax.lax.fori_loop(0, LC, body, carry0)
@@ -401,13 +421,16 @@ class BitplaneMatcher:
                         memory_space=pltpu.VMEM,
                     ),
                 ],
+                # NWS-major output: downstream packed-domain stages tile the
+                # word-group axis, and (L, LANE) minor dims satisfy Mosaic's
+                # (8, 128) block-divisibility rule at any NWS.
                 out_specs=pl.BlockSpec(
-                    (LC, sb, NT, LANE),
-                    lambda b, l: (l, 0, b, 0),
+                    (NT, sb, LC, LANE),
+                    lambda b, l: (b, 0, l, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (L_pad, sb, NWS, LANE), jnp.int32
+                    (NWS, sb, L_pad, LANE), jnp.int32
                 ),
                 scratch_shapes=[pltpu.VMEM((n_live, NT, LANE), jnp.int32)],
                 interpret=interpret,
@@ -449,19 +472,22 @@ class BitplaneMatcher:
         self._post_off = post_off
 
         def make_post(NWS: int):
+            # All arrays lead with the word-group (NWS) axis so blocks end
+            # in (L_pad, LANE) — Mosaic requires the last two block dims be
+            # (multiple of 8, multiple of 128) or the full array dims.
             sbs = [c.sb for c in self.circuits]
 
             def kern(*refs):
                 log_refs = refs[:n_defs]
                 en_ref = refs[n_defs]
                 out_ref = refs[n_defs + 1]
-                en = en_ref[:, 0, 0]  # [L_pad, LANE]
+                en = en_ref[0, 0]  # [L_pad, LANE]
                 zrow = jnp.zeros((1, LANE), jnp.int32)
 
                 def put(name, planes):
                     o, nb = post_off[name]
                     for j in range(nb):
-                        out_ref[:, o + j, 0] = (
+                        out_ref[0, o + j] = (
                             planes[j] if j < len(planes) else jnp.zeros_like(en)
                         )
 
@@ -469,7 +495,7 @@ class BitplaneMatcher:
                 start_any = None
                 endf_any = None
                 for d, circ in enumerate(self.circuits):
-                    nxt = [log_refs[d][:, j, 0] for j in range(sbs[d])]
+                    nxt = [log_refs[d][0, j] for j in range(sbs[d])]
                     first_bits = [
                         jnp.full(
                             (1, LANE),
@@ -536,15 +562,15 @@ class BitplaneMatcher:
 
             in_specs = [
                 pl.BlockSpec(
-                    (L_pad, sb, 1, LANE),
-                    lambda b: (0, 0, b, 0),
+                    (1, sb, L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
                 for sb in sbs
             ] + [
                 pl.BlockSpec(
-                    (L_pad, 1, 1, LANE),
-                    lambda b: (0, 0, b, 0),
+                    (1, 1, L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
             ]
@@ -553,12 +579,12 @@ class BitplaneMatcher:
                 grid=(NWS,),
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(
-                    (L_pad, P_total, 1, LANE),
-                    lambda b: (0, 0, b, 0),
+                    (1, P_total, L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (L_pad, P_total, NWS, LANE), jnp.int32
+                    (NWS, P_total, L_pad, LANE), jnp.int32
                 ),
                 interpret=interpret,
                 compiler_params=None
@@ -593,18 +619,16 @@ class BitplaneMatcher:
             )  # [L_pad, 8, NWS, LANE]
 
             # enable plane (pos < length), computed directly in the packed
-            # domain from lengths (no second [B, L] transpose)
+            # NWS-major domain from lengths (no second [B, L] transpose)
             pos = jnp.arange(L, dtype=jnp.int32)
             enable_bl = pos[None, :] < lengths[:, None]  # [B, L] bool
-            len_w = lengths.reshape(NW, 32)
+            len_w = lengths.reshape(NWS, LANE, 32)
             pi = jnp.asarray(PI)
             en_bits = (
-                jnp.arange(L_pad, dtype=jnp.int32)[:, None, None]
-                < len_w[None]
+                jnp.arange(L_pad, dtype=jnp.int32)[None, :, None, None]
+                < len_w[:, None]
             ).astype(jnp.int32) << pi
-            en_plane = en_bits.sum(-1, dtype=jnp.int32).reshape(
-                L_pad, NWS, LANE
-            )
+            en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
 
             # 2. scan kernel per def (class circuit folded in)
             logs_per_def = [
@@ -613,9 +637,7 @@ class BitplaneMatcher:
 
             # 3+4. tag + id-sum + mask FSMs
             if post == "pallas":
-                post_out = make_post(NWS)(
-                    *logs_per_def, en_plane[:, None, :, :]
-                )
+                post_out = make_post(NWS)(*logs_per_def, en_plane[:, None])
 
                 def planes_of(name):
                     o, nb = self._post_off[name]

@@ -125,6 +125,9 @@ class PallasMatcher:
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
         interleave: int = 1,  # independent lane-half chains in the scan
+        table_dtype: str = "bf16",  # "bf16" | "int8" (2x MXU rate; values
+        #   stored offset by -128 so 0..255 fits int8, re-added after the
+        #   one-hot matmul since each row has exactly one hit)
         #   (interleave=2 is interpret-verified but does not compile on the
         #   current Mosaic build — re-test per docs/ROADMAP.md)
     ):
@@ -854,12 +857,21 @@ class PallasMatcher:
                 return cls
 
             def onehot_cols(cls, kdim, tbl):
-                onehot = (
+                onehot_i = (
                     cls[:, None]
                     == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                ).astype(jnp.bfloat16)
+                )
+                if table_dtype == "int8":
+                    oh = onehot_i.astype(jnp.int8)
+                    t8 = (tbl - 128.0).astype(jnp.int8)
+                    return (
+                        jnp.dot(oh, t8, preferred_element_type=jnp.int32)
+                        + 128
+                    )
                 return jnp.dot(
-                    onehot, tbl, preferred_element_type=jnp.float32
+                    onehot_i.astype(jnp.bfloat16),
+                    tbl.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
                 ).astype(jnp.int32)
 
             def pick(cols, s):
@@ -1108,12 +1120,21 @@ class PallasMatcher:
                 return cls
 
             def onehot_cols(cls, kdim, tbl):
-                onehot = (
+                onehot_i = (
                     cls[:, None]
                     == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                ).astype(jnp.bfloat16)
+                )
+                if table_dtype == "int8":
+                    oh = onehot_i.astype(jnp.int8)
+                    t8 = (tbl - 128.0).astype(jnp.int8)
+                    return (
+                        jnp.dot(oh, t8, preferred_element_type=jnp.int32)
+                        + 128
+                    )
                 return jnp.dot(
-                    onehot, tbl, preferred_element_type=jnp.float32
+                    onehot_i.astype(jnp.bfloat16),
+                    tbl.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
                 ).astype(jnp.int32)
 
             n_slab_c = LCC // SLAB

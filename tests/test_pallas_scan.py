@@ -339,3 +339,59 @@ def test_chunked_hi_lo_large_dfa():
             assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
     finally:
         del os.environ["H2R_SPLIT_CHUNK"]
+
+
+def test_split_int8_tables(model3):
+    """int8 one-hot matmul tables (offset -128, re-added post-matmul) are
+    bit-exact on the split path."""
+    m = PallasMatcher(
+        model3, batch_tile=4, interpret=True, mode="split",
+        table_dtype="int8",
+    )
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    res = m(chars, lengths)
+    from halo2_regex_tpu.ops import reference as ref_ops
+
+    for i, s in enumerate(STRINGS3):
+        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+        assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+
+
+def test_chunked_int8_hi_lo():
+    """int8 tables on the chunked >256-state path (configs[3] shape)."""
+    import os
+
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.models.defs import AllstrRegexDef, RegexDefs
+    from halo2_regex_tpu.ops import reference as ref_ops
+
+    rng = np.random.default_rng(11)
+    S, L = 300, 32
+    allstr = AllstrRegexDef(
+        first_state_val=0, accepted_state_val=1, largest_state_val=S - 1
+    )
+    line = 3
+    for c in range(97, 101):
+        for s in range(S):
+            allstr.state_lookup[(c, s)] = (line, int(rng.integers(0, S)))
+            line += 1
+    model = CompiledRegexModel.from_defs(
+        [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
+    )
+    os.environ["H2R_SPLIT_CHUNK"] = "16"
+    try:
+        m = PallasMatcher(
+            model, batch_tile=4, interpret=True, grid_mode="chunked",
+            table_dtype="int8",
+        )
+        strings = [
+            rng.integers(97, 101, size=L).astype(np.uint8).tobytes()
+            for _ in range(4)
+        ]
+        chars, lengths = pack_batch(strings, L)
+        res = m(chars, lengths)
+        for i, s in enumerate(strings):
+            oracle = ref_ops.match_substrs(model.regex_defs, s, L)
+            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+    finally:
+        del os.environ["H2R_SPLIT_CHUNK"]

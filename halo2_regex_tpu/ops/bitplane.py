@@ -123,36 +123,48 @@ def unpack_planes(planes: List[jnp.ndarray], L: int, out_dtype=jnp.uint8):
     planes[j]; PI bit order inverted).  Planes are NWS-major
     [NWS, L_pad, LANE] (the scan/post kernel layout) or L-major
     [L_pad, NW]."""
-    acc = _unpack_raw(planes, L)
-    return acc.astype(out_dtype)
+    return _unpack_raw(planes, L).astype(out_dtype)
+
+
+def _to_nws_major(p: jnp.ndarray) -> jnp.ndarray:
+    if p.ndim == 2:  # [L_pad, NW] L-major
+        return p.reshape(p.shape[0], -1, LANE).transpose(1, 0, 2)
+    return p
 
 
 def _unpack_raw(planes: List[jnp.ndarray], L: int) -> jnp.ndarray:
+    """Fused expansion: stack the plane axis and OR-reduce over it so XLA
+    emits ONE pass producing the (narrow) value array — the naive
+    plane-by-plane accumulate materializes a 32x-expanded int32
+    intermediate per plane (~4 ms for a 13-plane witness set at B=32k)."""
     pi = jnp.asarray(PI)
-    acc = None
-    for j, p in enumerate(planes):
-        if p.ndim == 2:  # [L_pad, NW] L-major
-            p = p.reshape(p.shape[0], -1, LANE).transpose(1, 0, 2)
-        v = ((p[:, :L, :, None] >> pi) & 1) << j  # [NWS, L, LANE, 32]
-        acc = v if acc is None else acc | v
+    stack = jnp.stack([_to_nws_major(p) for p in planes])  # [NP,NWS,L_pad,LANE]
+    NP = stack.shape[0]
+    dtype = jnp.uint8 if NP <= 8 else jnp.int32
+    shifts = jnp.arange(NP, dtype=jnp.uint8 if NP <= 8 else jnp.int32)
+    bits = ((stack[:, :, :L, :, None] >> pi) & 1).astype(dtype)
+    expanded = bits << shifts[:, None, None, None, None]
+    acc = jax.lax.reduce(
+        expanded, jnp.array(0, dtype), jax.lax.bitwise_or, (0,)
+    )  # [NWS, L, LANE, 32]
     NWS = acc.shape[0]
     B = NWS * LANE * 32
     # string g at (nws, lane, r): g = (nws*LANE + lane)*32 + r
-    return acc.transpose(1, 0, 2, 3).reshape(L, B).T  # [B, L] int32
+    return acc.transpose(1, 0, 2, 3).reshape(L, B).T  # [B, L]
 
 
 def unpack_groups(
     named: List[Tuple[str, List[jnp.ndarray]]], L: int
 ) -> Dict[str, jnp.ndarray]:
-    """Unpack many named plane-vectors with one bit-expansion per <=32-bit
-    group: each group's planes become bit-fields of a single int32 value
-    per (string, position), then split by shift/mask."""
+    """Unpack many named plane-vectors with one fused bit-expansion per
+    <=8-bit group (uint8 values): each group's planes become bit-fields of
+    one byte per (string, position), split by shift/mask afterwards."""
     groups: List[List[Tuple[str, int, List[jnp.ndarray]]]] = []
     cur: List[Tuple[str, int, List[jnp.ndarray]]] = []
     bits = 0
     for name, planes in named:
         nb = len(planes)
-        if bits + nb > 32:
+        if bits + nb > 8:
             groups.append(cur)
             cur, bits = [], 0
         cur.append((name, bits, planes))
@@ -162,7 +174,7 @@ def unpack_groups(
     out: Dict[str, jnp.ndarray] = {}
     for g in groups:
         all_planes = [p for (_, _, ps) in g for p in ps]
-        vals = _unpack_raw(all_planes, L)  # [B, L] int32
+        vals = _unpack_raw(all_planes, L)  # [B, L] uint8
         for name, off, ps in g:
             nb = len(ps)
             field = (vals >> off) & ((1 << nb) - 1)
@@ -701,20 +713,21 @@ class BitplaneMatcher:
                 end_sum = ef_v if end_sum is None else end_sum + ef_v
 
             after = jnp.stack(states_list, axis=1)  # [B, n_defs, L]
-            first = model_arrays["first_states"][None, :, None]
+            st_dtype = val_dtype if model.s_pad <= 255 else jnp.int32
+            after = after.astype(st_dtype)
+            first = model_arrays["first_states"][None, :, None].astype(st_dtype)
             raw = jnp.concatenate(
                 [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
             )
             posL1 = jnp.arange(L + 1, dtype=jnp.int32)
             in_range = posL1[None, None, :] <= lengths[:, None, None]
-            dummy = model_arrays["dummy_states"][None, :, None]
-            states = jnp.where(in_range, raw, dummy).astype(
-                val_dtype if model.s_pad <= 255 else jnp.int32
-            )
+            dummy = model_arrays["dummy_states"][None, :, None].astype(st_dtype)
+            states = jnp.where(in_range, raw, dummy)
 
             final = jnp.take_along_axis(
-                raw, lengths[:, None, None].repeat(n_defs, 1), axis=2
-            )[:, :, 0]
+                raw, lengths[:, None, None].repeat(n_defs, 1).astype(jnp.int32),
+                axis=2,
+            )[:, :, 0].astype(jnp.int32)
             accepted = final == model_arrays["accepted_states"][None, :]
             has_dead = final == model_arrays["dead_states"][None, :]
 

@@ -167,3 +167,40 @@ def test_data_parallel_pallas_backend(model3):
         for s in strings
     )
     assert int(stats["n_matched"]) == n_ok
+
+
+def test_bitplane_per_shard(model3):
+    """Bit-sliced backend under shard_map on the data axis (the production
+    pod configuration's fast path) — bit-exact vs the XLA distributed
+    result."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+    from halo2_regex_tpu.parallel.data_parallel import DistributedMatcher
+    from halo2_regex_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=8, seq=1)
+    L = model3.max_chars_size
+    strings = [b"from:a@b.cd\r\n", b"", b"nope", b"from:x.y@z.ww\r\n"]
+    base_chars, base_lengths = pack_batch(strings, L)
+    reps = (4096 * 8) // len(strings)
+    chars = np.tile(np.asarray(base_chars), (reps, 1))
+    lengths = np.tile(np.asarray(base_lengths), reps)
+
+    dm = DistributedMatcher(model3, mesh)
+    expected, _ = dm(chars, lengths)
+
+    bp = BitplaneMatcher(model3, interpret=True, lc=min(32, L))
+    run = shard_map(
+        lambda c, l: bp.core(c, l)["match_ok"],
+        mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    ok = jax.jit(run)(chars, lengths)
+    np.testing.assert_array_equal(
+        np.asarray(ok), np.asarray(expected.match_ok)
+    )

@@ -146,6 +146,31 @@ def _cmd_scan(args) -> int:
 
     model = CompiledRegexModel.load(args.model)
     matcher, _ = best_matcher(model, backend=args.backend)
+    if args.checkpoint:
+        from .utils.jobs import ScanJob
+
+        def _print_matches(res, chars, lengths, n_valid):
+            if not args.print_matches:
+                return
+            ok = np.asarray(res.match_ok)
+            for i in np.nonzero(ok[:n_valid])[0]:
+                if lengths[i] == 0:
+                    continue
+                row = res.map(lambda a: np.asarray(a)[i])
+                print(json.dumps({
+                    "input": bytes(chars[i][: lengths[i]]).decode("latin-1"),
+                    "substrings": [
+                        {"offset": o, "text": t, "substr_id": s}
+                        for o, t, s in extract_substrings(row)
+                    ],
+                }))
+
+        job = ScanJob(
+            matcher, args.corpus, checkpoint_path=args.checkpoint,
+            batch_size=args.batch, on_batch=_print_matches,
+        )
+        print(job.run().to_json())
+        return 0
     loader = CorpusLoader(
         args.corpus, max_len=model.max_chars_size, batch_size=args.batch
     )
@@ -262,6 +287,7 @@ def main(argv=None) -> int:
     p.add_argument("--model", required=True)
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--print-matches", action="store_true")
+    p.add_argument("--checkpoint", help="JSON state file for resumable jobs")
     p.add_argument("corpus", nargs="+", help="newline-delimited corpus file(s)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bitplane", "pallas", "xla"])

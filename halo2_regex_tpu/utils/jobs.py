@@ -1,0 +1,119 @@
+"""Resumable corpus-scan jobs: checkpoint/restart for long-running scans.
+
+The reference has no runtime checkpointing (SURVEY §5.4: its text tables
+are the only serialization layer).  For production corpus scanning this
+module adds chunk-granular at-least-once resume: a job walks its corpus
+files in fixed byte chunks (cut at newline boundaries), streams each
+chunk's padded batches through a matcher, and persists
+``(file index, byte offset, counters)`` as JSON after every chunk.  On
+restart the job seeks straight to the recorded offset — work since the
+last checkpoint is redone, never skipped.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from .io import batch_iterator, pack_lines
+from .trace import Counters
+
+
+@dataclass
+class JobState:
+    file_idx: int = 0
+    offset: int = 0
+    n_truncated: int = 0
+    counters: dict = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, path) -> "JobState":
+        with open(path) as f:
+            return cls(**json.load(f))
+
+    def save(self, path) -> None:
+        tmp = f"{path}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.__dict__, f)
+        os.replace(tmp, path)  # atomic on POSIX
+
+
+class ScanJob:
+    """Checkpointable scan over newline-delimited corpus files.
+
+    Args:
+      matcher: any batched matcher (``ops.best_matcher``).
+      paths: corpus files (processed in sorted order).
+      checkpoint_path: JSON state file; absent -> fresh start.
+      batch_size / max_len: batch shape (max_len defaults to the model's).
+      chunk_bytes: checkpoint granularity.
+      on_batch: optional callback ``(result, chars, lengths, n_valid)``.
+    """
+
+    def __init__(
+        self,
+        matcher,
+        paths: Sequence[str],
+        checkpoint_path: Optional[str] = None,
+        batch_size: int = 1024,
+        max_len: Optional[int] = None,
+        chunk_bytes: int = 64 << 20,
+        on_batch: Optional[Callable] = None,
+    ):
+        self.matcher = matcher
+        self.paths: List[str] = sorted(paths)
+        self.checkpoint_path = checkpoint_path
+        self.batch_size = batch_size
+        self.max_len = max_len or matcher.model.max_chars_size
+        self.chunk_bytes = chunk_bytes
+        self.on_batch = on_batch
+
+    def run(self) -> Counters:
+        state = JobState()
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            state = JobState.load(self.checkpoint_path)
+        counters = Counters(**state.counters).start()
+
+        for file_idx in range(state.file_idx, len(self.paths)):
+            path = self.paths[file_idx]
+            offset = state.offset if file_idx == state.file_idx else 0
+            size = os.path.getsize(path)
+            with open(path, "rb") as f:
+                while offset < size:
+                    f.seek(offset)
+                    data = f.read(self.chunk_bytes)
+                    at_eof = offset + len(data) >= size
+                    if at_eof:
+                        consumed = len(data)
+                    else:
+                        cut = data.rfind(b"\n")
+                        if cut < 0:  # a single line longer than the chunk
+                            consumed = len(data)
+                        else:
+                            data = data[: cut + 1]
+                            consumed = cut + 1
+                    chars, lengths, trunc = pack_lines(data, self.max_len)
+                    state.n_truncated += trunc
+                    for bchars, blens, n_valid in batch_iterator(
+                        chars, lengths, self.batch_size
+                    ):
+                        res = self.matcher(bchars, blens)
+                        counters.update(res, blens, n_valid)
+                        if self.on_batch is not None:
+                            self.on_batch(res, bchars, blens, n_valid)
+                    offset += consumed
+                    state.file_idx = file_idx
+                    state.offset = offset
+                    state.counters = counters.snapshot()
+                    if self.checkpoint_path:
+                        state.save(self.checkpoint_path)
+            state.offset = 0
+            state.file_idx = file_idx + 1
+            if self.checkpoint_path:
+                state.save(self.checkpoint_path)
+        counters.finish()
+        return counters

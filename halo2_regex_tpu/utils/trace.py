@@ -72,8 +72,23 @@ class Counters:
 
     def finish(self) -> "Counters":
         if self._t0:
-            self.wall_seconds = time.perf_counter() - self._t0
+            self.wall_seconds += time.perf_counter() - self._t0
+            self._t0 = 0.0
         return self
+
+    def snapshot(self) -> dict:
+        """JSON-safe public state (wall time accumulated to now) — the
+        checkpoint payload for resumable jobs (utils/jobs.py)."""
+        live = time.perf_counter() - self._t0 if self._t0 else 0.0
+        return {
+            "batches": self.batches,
+            "strings": self.strings,
+            "bytes_scanned": self.bytes_scanned,
+            "matched": self.matched,
+            "failed": self.failed,
+            "dead": self.dead,
+            "wall_seconds": self.wall_seconds + live,
+        }
 
     @property
     def bytes_per_sec(self) -> float:

@@ -61,3 +61,75 @@ def test_corpus_loader_process_sharding(tmp_path):
     l1 = CorpusLoader(paths, 16, 4, process_index=1, process_count=2)
     assert len(l0.paths) == 2 and len(l1.paths) == 2
     assert set(l0.paths) | set(l1.paths) == set(paths)
+
+
+# ---------------------------------------------------------------------------
+# Resumable scan jobs (utils/jobs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_scan_job_checkpoint_resume(tmp_path):
+    """Interrupted-then-resumed job reaches the same totals as one pass
+    (at-least-once per chunk; counters/offsets survive the restart)."""
+    import json
+
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+    from halo2_regex_tpu.utils.jobs import ScanJob
+
+    from fixtures import CONFIGS
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=32
+    )
+    matcher = BatchMatcher(model)
+
+    lines = []
+    for i in range(97):
+        lines.append(b"from:a%d@b.cd\r" % i)  # \n added by join
+        lines.append(b"nope %d" % i)
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_bytes(b"\n".join(lines) + b"\n")
+
+    # one-pass reference
+    ref = ScanJob(matcher, [str(corpus)], batch_size=16).run()
+
+    # interrupted run: tiny chunks, stop via an exception after 3 chunks
+    ckpt = tmp_path / "job.json"
+    calls = {"n": 0}
+
+    class Stop(Exception):
+        pass
+
+    def bomb(res, chars, lengths, n_valid):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise Stop()
+
+    job = ScanJob(
+        matcher, [str(corpus)], checkpoint_path=str(ckpt),
+        batch_size=16, chunk_bytes=256, on_batch=bomb,
+    )
+    try:
+        job.run()
+        raise AssertionError("expected interruption")
+    except Stop:
+        pass
+    assert ckpt.exists()
+    state = json.loads(ckpt.read_text())
+    assert state["offset"] > 0 or state["file_idx"] > 0
+
+    # resume to completion
+    job2 = ScanJob(
+        matcher, [str(corpus)], checkpoint_path=str(ckpt),
+        batch_size=16, chunk_bytes=256,
+    )
+    out = job2.run()
+    # at-least-once semantics: matched/strings can only exceed the
+    # reference by whole re-done chunks, never undercount
+    assert out.matched >= ref.matched
+    assert out.strings >= ref.strings
+    # every line matched in the reference is matched here (ratios equal on
+    # the doubled work)
+    assert out.matched * ref.strings == ref.matched * out.strings

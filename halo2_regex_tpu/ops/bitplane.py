@@ -47,10 +47,16 @@ from ..witness.result import RegexResult
 
 LANE = 128
 
-# Bit position of string r (r = global_string % 32) within its packed word:
-# the bitcast pack routes string 4j+s of byte-group j (m = j % 8) to bit
-# 8*s + m.  Unpack shifts by PI to invert.
-PI = np.array([8 * (r % 4) + r // 4 for r in range(32)], np.int32)
+# Packed-word mapping.  The uint8x4 bitcast yields raw quads q (strings
+# 4q+s in byte lanes s).  Word w combines the STRIDED quads q = w + NW*m
+# (m = 0..7) — chosen so the grouping is a pure reshape of the bitcast
+# array, no transpose — putting string
+#     g(w, beta) = 4*(w + NW*(beta % 8)) + beta // 8
+# at bit beta of word w.  Every packed-domain stage is bit-position
+# agnostic; pack/unpack/enable all derive from this one mapping (the
+# word<->string association depends on NW = B/32, which is fine: the
+# packed layout is internal to one matcher invocation).
+_QUAD_MASK = 0x01010101
 
 
 def _substr_pairs(model: CompiledRegexModel, d: int):
@@ -79,15 +85,6 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _combine8(bj: jnp.ndarray) -> jnp.ndarray:
-    """[L, B//4] int32 with one masked bit per byte lane -> [L, B//32]
-    words (disjoint-bit sum over groups of 8)."""
-    L, nq = bj.shape
-    g = bj.reshape(L, nq // 8, 8)
-    sh = jnp.arange(8, dtype=jnp.int32)
-    return (g << sh).sum(axis=-1, dtype=jnp.int32)
-
-
 def _bytes_to_words(x_u8: jnp.ndarray) -> jnp.ndarray:
     """[L, B] uint8 -> [L, B//4] int32 via bitcast (4 bytes per word)."""
     L, B = x_u8.shape
@@ -96,26 +93,49 @@ def _bytes_to_words(x_u8: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _combine_strided(R: jnp.ndarray) -> jnp.ndarray:
+    """[L, 8, NW] masked quad-bit rows -> [L, NW] words: word w =
+    OR over m of row[m] << m (bits land at 8s+m, all disjoint)."""
+    sh = jnp.arange(8, dtype=jnp.int32)
+    return jax.lax.reduce(
+        R << sh[None, :, None], jnp.int32(0), jax.lax.bitwise_or, (1,)
+    )
+
+
 def pack_bytes(chars: jnp.ndarray, L_pad: int) -> List[jnp.ndarray]:
-    """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, B//32] int32
-    (PI bit order)."""
+    """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, B//32] int32.
+
+    One transpose+bitcast materialization; the quad grouping is a reshape
+    (strided-partner mapping, see module header) and the per-plane
+    extraction is one fused OR-reduction."""
     B, L = chars.shape
     x = chars.T
     if L_pad != L:
         x = jnp.pad(x, ((0, L_pad - L), (0, 0)))
-    w = _bytes_to_words(x)
-    mask = jnp.int32(0x01010101)
-    return [_combine8((w >> j) & mask) for j in range(8)]
+    w = _bytes_to_words(x)  # [L_pad, B//4]
+    R = w.reshape(L_pad, 8, B // 32)
+    mask = jnp.int32(_QUAD_MASK)
+    js = jnp.arange(8, dtype=jnp.int32)
+    # [L_pad, 8m, 8j, NW]: bit j of each byte lane, per quad row m
+    bits = (R[:, :, None, :] >> js[None, None, :, None]) & mask
+    sh = jnp.arange(8, dtype=jnp.int32)
+    planes = jax.lax.reduce(
+        bits << sh[None, :, None, None], jnp.int32(0),
+        jax.lax.bitwise_or, (1,),
+    )  # [L_pad, 8j, NW]
+    return [planes[:, j] for j in range(8)]
 
 
 def pack_bool(col: jnp.ndarray, L_pad: int) -> jnp.ndarray:
-    """[B, L] bool/0-1 -> one plane [L_pad, B//32] int32 (PI bit order)."""
+    """[B, L] bool/0-1 -> one plane [L_pad, B//32] int32."""
     B, L = col.shape
     x = col.astype(jnp.uint8).T
     if L_pad != L:
         x = jnp.pad(x, ((0, L_pad - L), (0, 0)))
     w = _bytes_to_words(x)
-    return _combine8(w & jnp.int32(0x01010101))
+    return _combine_strided(
+        w.reshape(L_pad, 8, B // 32) & jnp.int32(_QUAD_MASK)
+    )
 
 
 def unpack_planes(planes: List[jnp.ndarray], L: int, out_dtype=jnp.uint8):
@@ -137,20 +157,23 @@ def _unpack_raw(planes: List[jnp.ndarray], L: int) -> jnp.ndarray:
     emits ONE pass producing the (narrow) value array — the naive
     plane-by-plane accumulate materializes a 32x-expanded int32
     intermediate per plane (~4 ms for a 13-plane witness set at B=32k)."""
-    pi = jnp.asarray(PI)
+    beta = jnp.arange(32, dtype=jnp.int32)
     stack = jnp.stack([_to_nws_major(p) for p in planes])  # [NP,NWS,L_pad,LANE]
     NP = stack.shape[0]
     dtype = jnp.uint8 if NP <= 8 else jnp.int32
     shifts = jnp.arange(NP, dtype=jnp.uint8 if NP <= 8 else jnp.int32)
-    bits = ((stack[:, :, :L, :, None] >> pi) & 1).astype(dtype)
+    bits = ((stack[:, :, :L, :, None] >> beta) & 1).astype(dtype)
     expanded = bits << shifts[:, None, None, None, None]
     acc = jax.lax.reduce(
         expanded, jnp.array(0, dtype), jax.lax.bitwise_or, (0,)
-    )  # [NWS, L, LANE, 32]
+    )  # [NWS, L, LANE, 32(beta)]
     NWS = acc.shape[0]
     B = NWS * LANE * 32
-    # string g at (nws, lane, r): g = (nws*LANE + lane)*32 + r
-    return acc.transpose(1, 0, 2, 3).reshape(L, B).T  # [B, L]
+    # bit beta = 8s+m holds string g = 4*(w + NW*m) + s (module header):
+    # reorder (m, nws, lane, s) -> flat string order.
+    acc5 = acc.reshape(NWS, L, LANE, 4, 8)  # [..., s, m]
+    vals = acc5.transpose(1, 4, 0, 2, 3).reshape(L, B)  # [L, B] g-ordered
+    return vals.T  # [B, L]
 
 
 def unpack_groups(
@@ -631,15 +654,22 @@ class BitplaneMatcher:
             )  # [L_pad, 8, NWS, LANE]
 
             # enable plane (pos < length), computed directly in the packed
-            # NWS-major domain from lengths (no second [B, L] transpose)
+            # NWS-major domain from lengths (no second [B, L] transpose).
+            # bit beta = 8s+m of word w belongs to string 4*(w + NW*m) + s,
+            # so the per-word length table is lengths viewed (m, w, s) and
+            # reordered to (w, beta).
             pos = jnp.arange(L, dtype=jnp.int32)
             enable_bl = pos[None, :] < lengths[:, None]  # [B, L] bool
-            len_w = lengths.reshape(NWS, LANE, 32)
-            pi = jnp.asarray(PI)
+            len_wb = (
+                lengths.reshape(8, NW, 4)
+                .transpose(1, 2, 0)
+                .reshape(NWS, LANE, 32)
+            )
+            beta = jnp.arange(32, dtype=jnp.int32)
             en_bits = (
                 jnp.arange(L_pad, dtype=jnp.int32)[None, :, None, None]
-                < len_w[:, None]
-            ).astype(jnp.int32) << pi
+                < len_wb[:, None]
+            ).astype(jnp.int32) << beta
             en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
 
             # 2. scan kernel per def (class circuit folded in)

@@ -22,23 +22,20 @@ import numpy as np
 
 
 def np_pack_reference(chars: np.ndarray, L_pad: int) -> np.ndarray:
-    """[B, L] -> [8, L_pad, B//32] int32 planes with the PI bit order."""
-    from halo2_regex_tpu.ops.bitplane import PI
-
+    """[B, L] -> [8, L_pad, B//32] int32 planes with the strided-partner
+    mapping: bit beta=8s+m of word w belongs to string 4*(w + NW*m) + s."""
     B, L = chars.shape
+    NW = B // 32
     x = np.zeros((L_pad, B), np.uint8)
     x[:L] = chars.T
-    planes = np.zeros((8, L_pad, B // 32), np.int32)
+    planes = np.zeros((8, L_pad, NW), np.int32)
     for j in range(8):
         bits = (x >> j) & 1  # [L_pad, B]
-        # string g sits in word g//32 at bit PI[g % 32]
-        words = np.zeros((L_pad, B // 32), np.uint32)
-        g = np.arange(B)
-        for r in range(32):
-            sel = g[g % 32 == r]
-            words[:, sel // 32] |= (bits[:, sel].astype(np.uint32)) << int(
-                PI[r]
-            )
+        words = np.zeros((L_pad, NW), np.uint32)
+        for beta in range(32):
+            s, m = beta // 8, beta % 8
+            g = 4 * (np.arange(NW) + NW * m) + s
+            words |= bits[:, g].astype(np.uint32) << beta
         planes[j] = words.view(np.int32)
     return planes
 

@@ -312,7 +312,11 @@ class PallasMatcher:
             and grid_mode == "batch"
             and 2 * L * 4 * split_blocks * TB > budget_chk
         ):
-            grid_mode = "chunked"
+            # "segmented" (1D grids, carries via kernel inputs) is the
+            # hardware-safe long-L form; "chunked" (2D grid + scratch)
+            # SIGABRTs the current Mosaic with wide-select bodies
+            # (tools/probe_tpu32.py) and stays opt-in.
+            grid_mode = "segmented"
         self.grid_mode = grid_mode
         if mode == "split" and grid_mode == "chunked":
             LCC = min(
@@ -331,7 +335,9 @@ class PallasMatcher:
         # the intermediate (odd) states are reconstructed off-chain.
         stride = 2
         pair_tabs = None
-        if hi_lo or (mode == "split" and grid_mode == "chunked"):
+        if hi_lo or (
+            mode == "split" and grid_mode in ("chunked", "segmented")
+        ):
             stride = 1
         elif mode == "split":
             for d in range(n_defs):
@@ -1317,6 +1323,322 @@ class PallasMatcher:
             )
         )
 
+        # ---------------- segmented split-mode kernels ----------------
+        # Long inputs with carries threaded through kernel INPUTS/OUTPUTS
+        # at the XLA level: the current Mosaic SIGABRTs on the chunked
+        # kernels' 2D-grid+scratch form but compiles the identical body on
+        # a 1D grid (tools/probe_tpu32.py matrix). Each L-segment is one
+        # 1D-grid (batch-tiled) pallas_call; entry states / FSM entries
+        # come in as arrays, and the next segment's entries are read from
+        # this segment's outputs.
+        LS = min(int(__import__("os").environ.get("H2R_SEGMENT", 4096)), L)
+        while L % LS != 0:
+            LS //= 2
+        while LS % SLAB != 0:
+            SLAB //= 2
+        self.segment = LS
+        n_seg = L // LS
+
+        def scan_kernel_seg(ctab_ref, raw_ref, chars_ref, init_ref,
+                            states_ref):
+            def class_of(c, cls0, terms, use_classes):
+                if not use_classes:
+                    return c
+                cls = jnp.full((TB,), cls0, jnp.int32)
+                for b_r, delta in terms:
+                    cls = cls + delta * (c >= b_r).astype(jnp.int32)
+                return cls
+
+            def onehot_cols(cls, kdim, tbl):
+                onehot_i = (
+                    cls[:, None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
+                )
+                if table_dtype == "int8":
+                    oh = onehot_i.astype(jnp.int8)
+                    t8 = (tbl - 128.0).astype(jnp.int8)
+                    return (
+                        jnp.dot(oh, t8, preferred_element_type=jnp.int32)
+                        + 128
+                    )
+                return jnp.dot(
+                    onehot_i.astype(jnp.bfloat16),
+                    tbl.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)
+
+            for d in range(n_defs):
+                use_classes, cls0, terms, ctab = class_info[d]
+                width = 2 * S if hi_lo else S
+                tbl = (
+                    ctab_ref[d][:, 0:width]
+                    if use_classes
+                    else raw_ref[d][:, 0:width]
+                ).astype(jnp.bfloat16)
+                kdim = tbl.shape[0]
+
+                def slab_body(t, s, d=d, tbl=tbl, use_classes=use_classes,
+                              cls0=cls0, terms=terms, kdim=kdim):
+                    base = t * SLAB
+                    c_slab = chars_ref[pl.ds(base, SLAB), :]
+                    cols = [
+                        onehot_cols(
+                            class_of(c_slab[j], cls0, terms, use_classes),
+                            kdim,
+                            tbl,
+                        )
+                        for j in range(SLAB)
+                    ]
+                    outs = []
+                    for j in range(SLAB):
+                        sel = (
+                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
+                            == s[:, None]
+                        ).astype(jnp.int32)
+                        if hi_lo:
+                            lo = jnp.sum(cols[j][:, 0:S] * sel, axis=-1)
+                            hi = jnp.sum(cols[j][:, S : 2 * S] * sel, axis=-1)
+                            s = lo + 256 * hi
+                        else:
+                            s = jnp.sum(cols[j] * sel, axis=-1)
+                        outs.append(s)
+                    states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
+                    return s
+
+                jax.lax.fori_loop(0, LS // SLAB, slab_body, init_ref[d, :])
+
+        def tag_kernel_seg(states_ref, prev_ref, lengths_ref, base_ref,
+                           ids_ref, start_ref, endf_ref):
+            lengths = lengths_ref[0, :]
+            base = base_ref[0, 0]
+            pos = base + jax.lax.broadcasted_iota(jnp.int32, (LS, TB), 0)
+            en = (pos < lengths[None, :]).astype(jnp.int32)
+            for d in range(n_defs):
+                nxt = states_ref[d]
+                prev = jnp.concatenate(
+                    [prev_ref[d, :][None, :], nxt[: LS - 1]], axis=0
+                )
+                ids = jnp.zeros((LS, TB), jnp.int32)
+                st = jnp.zeros((LS, TB), jnp.int32)
+                ef = jnp.zeros((LS, TB), jnp.int32)
+                for a, b, gid, s_flag, e_flag in pair_info[d]:
+                    m = ((prev == a) & (nxt == b)).astype(jnp.int32)
+                    ids = ids + gid * m
+                    if s_flag:
+                        st = st + m
+                    if e_flag:
+                        ef = ef + m
+                ids_ref[d] = ids * en
+                start_ref[d] = st * en
+                endf_ref[d] = ef * en
+
+        def _log_scan_pair_seg(a, b, reverse):
+            shift = 1
+            while shift < LS:
+                if not reverse:
+                    a_prev = jnp.concatenate(
+                        [jnp.ones((shift, TB), jnp.int32), a[: LS - shift]], 0
+                    )
+                    b_prev = jnp.concatenate(
+                        [jnp.zeros((shift, TB), jnp.int32), b[: LS - shift]], 0
+                    )
+                else:
+                    a_prev = jnp.concatenate(
+                        [a[shift:], jnp.ones((shift, TB), jnp.int32)], 0
+                    )
+                    b_prev = jnp.concatenate(
+                        [b[shift:], jnp.zeros((shift, TB), jnp.int32)], 0
+                    )
+                a, b = a_prev * a, a * b_prev + b
+                shift *= 2
+            return a, b
+
+        def _sum_defs_seg(ref):
+            acc = ref[0]
+            for d in range(1, n_defs):
+                acc = acc + ref[d]
+            return acc
+
+        def fsm_kernel_seg_fwd(ids_ref, start_ref, endf_ref, entry_ref,
+                               fwd_ref):
+            # entry: [0] mask value, [1] prev ids_sum row, [2] prev endf row
+            ids_sum = _sum_defs_seg(ids_ref)
+            st_sum = _sum_defs_seg(start_ref)
+            ef_sum = _sum_defs_seg(endf_ref)
+            prev_ids = jnp.concatenate(
+                [entry_ref[1, :][None, :], ids_sum[: LS - 1]], 0
+            )
+            prev_ef = jnp.concatenate(
+                [entry_ref[2, :][None, :], ef_sum[: LS - 1]], 0
+            )
+            changed = (prev_ids != ids_sum).astype(jnp.int32)
+            is_set = ((st_sum > 0) & (changed > 0)).astype(jnp.int32)
+            is_reset = (
+                (st_sum == 0) & (prev_ef > 0) & (changed > 0)
+            ).astype(jnp.int32)
+            hold = (1 - is_set) * (1 - is_reset)
+            A, Bv = _log_scan_pair_seg(hold, is_set, reverse=False)
+            fwd_ref[:] = A * entry_ref[0, :][None, :] + Bv
+
+        def fsm_kernel_seg_bwd(ids_ref, start_ref, endf_ref, entry_ref,
+                               bwd_ref):
+            # entry: [0] mask value, [1] next ids_sum row, [2] next start row
+            ids_sum = _sum_defs_seg(ids_ref)
+            st_sum = _sum_defs_seg(start_ref)
+            ef_sum = _sum_defs_seg(endf_ref)
+            next_ids = jnp.concatenate(
+                [ids_sum[1:], entry_ref[1, :][None, :]], 0
+            )
+            next_st = jnp.concatenate(
+                [st_sum[1:], entry_ref[2, :][None, :]], 0
+            )
+            changed = (next_ids != ids_sum).astype(jnp.int32)
+            set_b = ((ef_sum > 0) & (changed > 0)).astype(jnp.int32)
+            reset_b = (
+                (ef_sum == 0) & (next_st > 0) & (changed > 0)
+            ).astype(jnp.int32)
+            hold_b = (1 - set_b) * (1 - reset_b)
+            A, Bv = _log_scan_pair_seg(hold_b, set_b, reverse=True)
+            bwd_ref[:] = A * entry_ref[0, :][None, :] + Bv
+
+        def make_scan_seg(B):
+            return pl.pallas_call(
+                scan_kernel_seg,
+                grid=(B // TB,),
+                in_specs=[
+                    pl.BlockSpec(tables_c.shape, lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(tables_raw.shape, lambda b: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((LS, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_defs, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (n_defs, LS, TB), lambda b: (0, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct((n_defs, LS, B), jnp.int32),
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def make_tag_seg(B):
+            return pl.pallas_call(
+                tag_kernel_seg,
+                grid=(B // TB,),
+                in_specs=[
+                    pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((n_defs, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1), lambda b: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
+                                 memory_space=pltpu.VMEM)
+                ] * 3,
+                out_shape=[jax.ShapeDtypeStruct((n_defs, LS, B), jnp.int32)] * 3,
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def make_fsm_seg(B, reverse):
+            return pl.pallas_call(
+                fsm_kernel_seg_bwd if reverse else fsm_kernel_seg_fwd,
+                grid=(B // TB,),
+                in_specs=[
+                    pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
+                                 memory_space=pltpu.VMEM)
+                ] * 3
+                + [
+                    pl.BlockSpec((3, TB), lambda b: (0, b),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((LS, TB), lambda b: (0, b),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((LS, B), jnp.int32),
+                interpret=interpret,
+                compiler_params=_vmem_params,
+            )
+
+        def run_segmented(ctm, lengths, B):
+            """Full split pipeline over n_seg L-segments, carries threaded
+            in XLA."""
+            firsts_arr = jnp.broadcast_to(
+                jnp.asarray(firsts, jnp.int32)[:, None], (n_defs, B)
+            )
+            scan_f = make_scan_seg(B)
+            tag_f = make_tag_seg(B)
+            fsm_fwd_f = make_fsm_seg(B, reverse=False)
+            fsm_bwd_f = make_fsm_seg(B, reverse=True)
+
+            states_segs = []
+            init = firsts_arr
+            for si in range(n_seg):
+                seg = scan_f(
+                    tables_c, tables_raw,
+                    ctm[si * LS : (si + 1) * LS],
+                    init,
+                )
+                states_segs.append(seg)
+                init = seg[:, LS - 1, :]
+
+            ids_segs, start_segs, endf_segs = [], [], []
+            prev = firsts_arr
+            for si in range(n_seg):
+                base = jnp.full((1, 1), si * LS, jnp.int32)
+                ids_s, st_s, ef_s = tag_f(
+                    states_segs[si], prev, lengths[None, :], base
+                )
+                ids_segs.append(ids_s)
+                start_segs.append(st_s)
+                endf_segs.append(ef_s)
+                prev = states_segs[si][:, LS - 1, :]
+
+            zero_row = jnp.zeros((B,), jnp.int32)
+            fwd_segs = [None] * n_seg
+            entry = jnp.stack([zero_row, zero_row, zero_row])
+            for si in range(n_seg):
+                fwd_s = fsm_fwd_f(
+                    ids_segs[si], start_segs[si], endf_segs[si], entry
+                )
+                fwd_segs[si] = fwd_s
+                entry = jnp.stack(
+                    [
+                        fwd_s[LS - 1],
+                        sum(ids_segs[si][d, LS - 1] for d in range(n_defs)),
+                        sum(endf_segs[si][d, LS - 1] for d in range(n_defs)),
+                    ]
+                )
+
+            bwd_segs = [None] * n_seg
+            entry = jnp.stack([zero_row, zero_row, zero_row])
+            for si in range(n_seg - 1, -1, -1):
+                bwd_s = fsm_bwd_f(
+                    ids_segs[si], start_segs[si], endf_segs[si], entry
+                )
+                bwd_segs[si] = bwd_s
+                entry = jnp.stack(
+                    [
+                        bwd_s[0],
+                        sum(ids_segs[si][d, 0] for d in range(n_defs)),
+                        sum(start_segs[si][d, 0] for d in range(n_defs)),
+                    ]
+                )
+
+            states_tm = jnp.concatenate(states_segs, axis=1)
+            ids_tm = jnp.concatenate(ids_segs, axis=1)
+            start_tm = jnp.concatenate(start_segs, axis=1)
+            endf_tm = jnp.concatenate(endf_segs, axis=1)
+            fwd_tm = jnp.concatenate(fwd_segs, axis=0)
+            bwd_tm = jnp.concatenate(bwd_segs, axis=0)
+            return states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm
+
         def make_scan_chunked(B):
             return pl.pallas_call(
                 scan_kernel_chunked,
@@ -1451,7 +1773,16 @@ class PallasMatcher:
         def run(chars, lengths):
             B = chars.shape[0]
             ctm = chars.astype(jnp.int32).T  # [L, B]
-            if mode == "split" and self.grid_mode == "chunked":
+            if mode == "split" and self.grid_mode == "segmented":
+                (
+                    states_tm,
+                    ids_tm,
+                    start_tm,
+                    endf_tm,
+                    fwd_tm,
+                    bwd_tm,
+                ) = run_segmented(ctm, lengths, B)
+            elif mode == "split" and self.grid_mode == "chunked":
                 states_tm = make_scan_chunked(B)(tables_c, tables_raw, ctm)
                 ids_tm, start_tm, endf_tm = make_tag_chunked(B)(
                     states_tm, lengths[None, :]

@@ -395,3 +395,89 @@ def test_chunked_int8_hi_lo():
             assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
     finally:
         del os.environ["H2R_SPLIT_CHUNK"]
+
+
+def test_segmented_split_matches_oracle(model3):
+    """Segmented mode (1D grids, carries threaded through kernel inputs at
+    the XLA level — the hardware-safe long-input form)."""
+    import os
+
+    os.environ["H2R_SEGMENT"] = "16"
+    try:
+        m = PallasMatcher(
+            model3, batch_tile=4, interpret=True, grid_mode="segmented",
+            mode="split",
+        )
+        assert m.grid_mode == "segmented" and m.segment == 16
+        chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+        res = m(chars, lengths)
+        for i, s in enumerate(STRINGS3):
+            oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+    finally:
+        del os.environ["H2R_SEGMENT"]
+
+
+def test_segmented_two_defs(model12):
+    import os
+
+    os.environ["H2R_SEGMENT"] = "32"
+    try:
+        m = PallasMatcher(
+            model12, batch_tile=4, interpret=True, grid_mode="segmented",
+            mode="split",
+        )
+        strings = [
+            b"email was meant for @y. Also for x.",
+            b"email was meant for @yajk. Also for swq.",
+            b"email was meant for @@",
+            b"",
+        ]
+        chars, lengths = pack_batch(strings, MAX_LEN)
+        res = m(chars, lengths)
+        for i, s in enumerate(strings):
+            oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
+            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+    finally:
+        del os.environ["H2R_SEGMENT"]
+
+
+def test_segmented_hi_lo_large_dfa():
+    """>256-state model on the segmented path (the configs[3] shape,
+    scaled down for interpret mode)."""
+    import os
+
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.models.defs import AllstrRegexDef, RegexDefs
+
+    rng = np.random.default_rng(7)
+    S = 300
+    L = 64
+    allstr = AllstrRegexDef(
+        first_state_val=0, accepted_state_val=1, largest_state_val=S - 1
+    )
+    line = 3
+    for c in range(97, 103):
+        for s in range(S):
+            allstr.state_lookup[(c, s)] = (line, int(rng.integers(0, S)))
+            line += 1
+    model = CompiledRegexModel.from_defs(
+        [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
+    )
+    os.environ["H2R_SEGMENT"] = "16"
+    try:
+        m = PallasMatcher(
+            model, batch_tile=4, interpret=True, grid_mode="segmented",
+        )
+        assert m.hi_lo and m.grid_mode == "segmented"
+        strings = [
+            rng.integers(97, 103, size=L).astype(np.uint8).tobytes()
+            for _ in range(4)
+        ]
+        chars, lengths = pack_batch(strings, L)
+        res = m(chars, lengths)
+        for i, s in enumerate(strings):
+            oracle = ref_ops.match_substrs(model.regex_defs, s, L)
+            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+    finally:
+        del os.environ["H2R_SEGMENT"]

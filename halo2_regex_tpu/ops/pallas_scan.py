@@ -1328,9 +1328,11 @@ class PallasMatcher:
         # at the XLA level: the current Mosaic SIGABRTs on the chunked
         # kernels' 2D-grid+scratch form but compiles the identical body on
         # a 1D grid (tools/probe_tpu32.py matrix). Each L-segment is one
-        # 1D-grid (batch-tiled) pallas_call; entry states / FSM entries
-        # come in as arrays, and the next segment's entries are read from
-        # this segment's outputs.
+        # 1D-grid (batch-tiled) pallas_call. Two further Mosaic landmines
+        # shape these kernels (tools/probe_tpu34/35.py): carries ride as
+        # PREPENDED/APPENDED ROWS of the existing inputs (a separate small
+        # input works only when unused), and the scan's loop carry is 2-D
+        # [1, TB] (a 1-D ref-load carry SIGABRTs; h1 vs h2/g3).
         LS = min(int(__import__("os").environ.get("H2R_SEGMENT", 4096)), L)
         while L % LS != 0:
             LS //= 2
@@ -1339,8 +1341,7 @@ class PallasMatcher:
         self.segment = LS
         n_seg = L // LS
 
-        def scan_kernel_seg(ctab_ref, raw_ref, chars_ref, init_ref,
-                            states_ref):
+        def scan_kernel_seg(ctab_ref, raw_ref, chars_ref, states_ref):
             def class_of(c, cls0, terms, use_classes):
                 if not use_classes:
                     return c
@@ -1377,10 +1378,10 @@ class PallasMatcher:
                 ).astype(jnp.bfloat16)
                 kdim = tbl.shape[0]
 
-                def slab_body(t, s, d=d, tbl=tbl, use_classes=use_classes,
+                def slab_body(t, s2, d=d, tbl=tbl, use_classes=use_classes,
                               cls0=cls0, terms=terms, kdim=kdim):
                     base = t * SLAB
-                    c_slab = chars_ref[pl.ds(base, SLAB), :]
+                    c_slab = chars_ref[pl.ds(n_defs + base, SLAB), :]
                     cols = [
                         onehot_cols(
                             class_of(c_slab[j], cls0, terms, use_classes),
@@ -1393,31 +1394,35 @@ class PallasMatcher:
                     for j in range(SLAB):
                         sel = (
                             jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
+                            == s2[0][:, None]
                         ).astype(jnp.int32)
                         if hi_lo:
                             lo = jnp.sum(cols[j][:, 0:S] * sel, axis=-1)
                             hi = jnp.sum(cols[j][:, S : 2 * S] * sel, axis=-1)
-                            s = lo + 256 * hi
+                            nv = lo + 256 * hi
                         else:
-                            s = jnp.sum(cols[j] * sel, axis=-1)
-                        outs.append(s)
+                            nv = jnp.sum(cols[j] * sel, axis=-1)
+                        s2 = nv[None, :]
+                        outs.append(nv)
                     states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
-                    return s
+                    return s2
 
-                jax.lax.fori_loop(0, LS // SLAB, slab_body, init_ref[d, :])
+                # init states ride as the first n_defs chars rows; the
+                # carry stays 2-D (probe_tpu35 h1)
+                jax.lax.fori_loop(
+                    0, LS // SLAB, slab_body, chars_ref[d : d + 1, :]
+                )
 
-        def tag_kernel_seg(states_ref, prev_ref, lengths_ref, base_ref,
-                           ids_ref, start_ref, endf_ref):
+        def tag_kernel_seg(states_ref, lengths_ref, ids_ref, start_ref,
+                           endf_ref):
+            # states_ref [n_defs, LS+1, TB]: row 0 = previous boundary
+            # state; lengths_ref = lengths - segment_base (adjusted in XLA)
             lengths = lengths_ref[0, :]
-            base = base_ref[0, 0]
-            pos = base + jax.lax.broadcasted_iota(jnp.int32, (LS, TB), 0)
+            pos = jax.lax.broadcasted_iota(jnp.int32, (LS, TB), 0)
             en = (pos < lengths[None, :]).astype(jnp.int32)
             for d in range(n_defs):
-                nxt = states_ref[d]
-                prev = jnp.concatenate(
-                    [prev_ref[d, :][None, :], nxt[: LS - 1]], axis=0
-                )
+                nxt = states_ref[d, 1:, :]
+                prev = states_ref[d, :LS, :]
                 ids = jnp.zeros((LS, TB), jnp.int32)
                 st = jnp.zeros((LS, TB), jnp.int32)
                 ef = jnp.zeros((LS, TB), jnp.int32)
@@ -1459,18 +1464,19 @@ class PallasMatcher:
                 acc = acc + ref[d]
             return acc
 
-        def fsm_kernel_seg_fwd(ids_ref, start_ref, endf_ref, entry_ref,
-                               fwd_ref):
-            # entry: [0] mask value, [1] prev ids_sum row, [2] prev endf row
-            ids_sum = _sum_defs_seg(ids_ref)
-            st_sum = _sum_defs_seg(start_ref)
-            ef_sum = _sum_defs_seg(endf_ref)
+        def fsm_kernel_seg_fwd(ids_ref, start_ref, endf_ref, fwd_ref):
+            # [n_defs, LS+1, TB] inputs; row 0 carries per-def prev-boundary
+            # ids / the entry mask (def 0 of start) / per-def prev endf
+            ids_sum = _sum_defs_seg(ids_ref)[1:, :]
+            st_sum = _sum_defs_seg(start_ref)[1:, :]
+            ef_sum = _sum_defs_seg(endf_ref)[1:, :]
             prev_ids = jnp.concatenate(
-                [entry_ref[1, :][None, :], ids_sum[: LS - 1]], 0
+                [_sum_defs_seg(ids_ref)[0:1, :], ids_sum[: LS - 1]], 0
             )
             prev_ef = jnp.concatenate(
-                [entry_ref[2, :][None, :], ef_sum[: LS - 1]], 0
+                [_sum_defs_seg(endf_ref)[0:1, :], ef_sum[: LS - 1]], 0
             )
+            entry_mask = start_ref[0, 0, :]
             changed = (prev_ids != ids_sum).astype(jnp.int32)
             is_set = ((st_sum > 0) & (changed > 0)).astype(jnp.int32)
             is_reset = (
@@ -1478,20 +1484,21 @@ class PallasMatcher:
             ).astype(jnp.int32)
             hold = (1 - is_set) * (1 - is_reset)
             A, Bv = _log_scan_pair_seg(hold, is_set, reverse=False)
-            fwd_ref[:] = A * entry_ref[0, :][None, :] + Bv
+            fwd_ref[:] = A * entry_mask[None, :] + Bv
 
-        def fsm_kernel_seg_bwd(ids_ref, start_ref, endf_ref, entry_ref,
-                               bwd_ref):
-            # entry: [0] mask value, [1] next ids_sum row, [2] next start row
-            ids_sum = _sum_defs_seg(ids_ref)
-            st_sum = _sum_defs_seg(start_ref)
-            ef_sum = _sum_defs_seg(endf_ref)
+        def fsm_kernel_seg_bwd(ids_ref, start_ref, endf_ref, bwd_ref):
+            # [n_defs, LS+1, TB] inputs; row LS carries per-def next-boundary
+            # ids / start, and the entry mask (def 0 of endf)
+            ids_sum = _sum_defs_seg(ids_ref)[:LS, :]
+            st_sum = _sum_defs_seg(start_ref)[:LS, :]
+            ef_sum = _sum_defs_seg(endf_ref)[:LS, :]
             next_ids = jnp.concatenate(
-                [ids_sum[1:], entry_ref[1, :][None, :]], 0
+                [ids_sum[1:], _sum_defs_seg(ids_ref)[LS : LS + 1, :]], 0
             )
             next_st = jnp.concatenate(
-                [st_sum[1:], entry_ref[2, :][None, :]], 0
+                [st_sum[1:], _sum_defs_seg(start_ref)[LS : LS + 1, :]], 0
             )
+            entry_mask = endf_ref[0, LS, :]
             changed = (next_ids != ids_sum).astype(jnp.int32)
             set_b = ((ef_sum > 0) & (changed > 0)).astype(jnp.int32)
             reset_b = (
@@ -1499,7 +1506,7 @@ class PallasMatcher:
             ).astype(jnp.int32)
             hold_b = (1 - set_b) * (1 - reset_b)
             A, Bv = _log_scan_pair_seg(hold_b, set_b, reverse=True)
-            bwd_ref[:] = A * entry_ref[0, :][None, :] + Bv
+            bwd_ref[:] = A * entry_mask[None, :] + Bv
 
         def make_scan_seg(B):
             return pl.pallas_call(
@@ -1510,9 +1517,7 @@ class PallasMatcher:
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(tables_raw.shape, lambda b: (0, 0, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((LS, TB), lambda b: (0, b),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_defs, TB), lambda b: (0, b),
+                    pl.BlockSpec((n_defs + LS, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
@@ -1529,14 +1534,10 @@ class PallasMatcher:
                 tag_kernel_seg,
                 grid=(B // TB,),
                 in_specs=[
-                    pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_defs, TB), lambda b: (0, b),
+                    pl.BlockSpec((n_defs, LS + 1, TB), lambda b: (0, 0, b),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((1, TB), lambda b: (0, b),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1), lambda b: (0, 0),
-                                 memory_space=pltpu.SMEM),
                 ],
                 out_specs=[
                     pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
@@ -1552,13 +1553,9 @@ class PallasMatcher:
                 fsm_kernel_seg_bwd if reverse else fsm_kernel_seg_fwd,
                 grid=(B // TB,),
                 in_specs=[
-                    pl.BlockSpec((n_defs, LS, TB), lambda b: (0, 0, b),
+                    pl.BlockSpec((n_defs, LS + 1, TB), lambda b: (0, 0, b),
                                  memory_space=pltpu.VMEM)
-                ] * 3
-                + [
-                    pl.BlockSpec((3, TB), lambda b: (0, b),
-                                 memory_space=pltpu.VMEM),
-                ],
+                ] * 3,
                 out_specs=pl.BlockSpec((LS, TB), lambda b: (0, b),
                                        memory_space=pltpu.VMEM),
                 out_shape=jax.ShapeDtypeStruct((LS, B), jnp.int32),
@@ -1568,7 +1565,7 @@ class PallasMatcher:
 
         def run_segmented(ctm, lengths, B):
             """Full split pipeline over n_seg L-segments, carries threaded
-            in XLA."""
+            in XLA (prepended/appended rows; see the landmine note above)."""
             firsts_arr = jnp.broadcast_to(
                 jnp.asarray(firsts, jnp.int32)[:, None], (n_defs, B)
             )
@@ -1582,8 +1579,9 @@ class PallasMatcher:
             for si in range(n_seg):
                 seg = scan_f(
                     tables_c, tables_raw,
-                    ctm[si * LS : (si + 1) * LS],
-                    init,
+                    jnp.concatenate(
+                        [init, ctm[si * LS : (si + 1) * LS]], axis=0
+                    ),
                 )
                 states_segs.append(seg)
                 init = seg[:, LS - 1, :]
@@ -1591,45 +1589,58 @@ class PallasMatcher:
             ids_segs, start_segs, endf_segs = [], [], []
             prev = firsts_arr
             for si in range(n_seg):
-                base = jnp.full((1, 1), si * LS, jnp.int32)
+                len_adj = (lengths - si * LS)[None, :]
                 ids_s, st_s, ef_s = tag_f(
-                    states_segs[si], prev, lengths[None, :], base
+                    jnp.concatenate(
+                        [prev[:, None, :], states_segs[si]], axis=1
+                    ),
+                    len_adj,
                 )
                 ids_segs.append(ids_s)
                 start_segs.append(st_s)
                 endf_segs.append(ef_s)
                 prev = states_segs[si][:, LS - 1, :]
 
-            zero_row = jnp.zeros((B,), jnp.int32)
-            fwd_segs = [None] * n_seg
-            entry = jnp.stack([zero_row, zero_row, zero_row])
-            for si in range(n_seg):
-                fwd_s = fsm_fwd_f(
-                    ids_segs[si], start_segs[si], endf_segs[si], entry
-                )
-                fwd_segs[si] = fwd_s
-                entry = jnp.stack(
-                    [
-                        fwd_s[LS - 1],
-                        sum(ids_segs[si][d, LS - 1] for d in range(n_defs)),
-                        sum(endf_segs[si][d, LS - 1] for d in range(n_defs)),
-                    ]
+            def with_row(seg_arr, row, front):
+                row3 = row[:, None, :]
+                return jnp.concatenate(
+                    [row3, seg_arr] if front else [seg_arr, row3], axis=1
                 )
 
+            zero_rows = jnp.zeros((n_defs, B), jnp.int32)
+
+            def mask_row(mask_vals):
+                return jnp.zeros((n_defs, B), jnp.int32).at[0].set(mask_vals)
+
+            fwd_segs = [None] * n_seg
+            m_entry = jnp.zeros((B,), jnp.int32)
+            prev_ids_row = zero_rows
+            prev_ef_row = zero_rows
+            for si in range(n_seg):
+                fwd_s = fsm_fwd_f(
+                    with_row(ids_segs[si], prev_ids_row, True),
+                    with_row(start_segs[si], mask_row(m_entry), True),
+                    with_row(endf_segs[si], prev_ef_row, True),
+                )
+                fwd_segs[si] = fwd_s
+                m_entry = fwd_s[LS - 1]
+                prev_ids_row = ids_segs[si][:, LS - 1, :]
+                prev_ef_row = endf_segs[si][:, LS - 1, :]
+
             bwd_segs = [None] * n_seg
-            entry = jnp.stack([zero_row, zero_row, zero_row])
+            m_entry = jnp.zeros((B,), jnp.int32)
+            next_ids_row = zero_rows
+            next_st_row = zero_rows
             for si in range(n_seg - 1, -1, -1):
                 bwd_s = fsm_bwd_f(
-                    ids_segs[si], start_segs[si], endf_segs[si], entry
+                    with_row(ids_segs[si], next_ids_row, False),
+                    with_row(start_segs[si], next_st_row, False),
+                    with_row(endf_segs[si], mask_row(m_entry), False),
                 )
                 bwd_segs[si] = bwd_s
-                entry = jnp.stack(
-                    [
-                        bwd_s[0],
-                        sum(ids_segs[si][d, 0] for d in range(n_defs)),
-                        sum(start_segs[si][d, 0] for d in range(n_defs)),
-                    ]
-                )
+                m_entry = bwd_s[0]
+                next_ids_row = ids_segs[si][:, 0, :]
+                next_st_row = start_segs[si][:, 0, :]
 
             states_tm = jnp.concatenate(states_segs, axis=1)
             ids_tm = jnp.concatenate(ids_segs, axis=1)

@@ -54,3 +54,27 @@ def test_email_headers_model_multi():
     assert np.asarray(res.accepted).tolist() == [True, False, False]
     subs = ref_ops.extract_substrings(res)
     assert subs and subs[0][1] == "alice@gmail.com"
+
+
+def test_zoo_models_synthesize_for_bitplane():
+    """Every zoo model must either synthesize for the bit-sliced backend
+    (and stay bit-exact) or raise cleanly for the fallback ladder."""
+    import numpy as np
+
+    from halo2_regex_tpu.models import zoo
+    from halo2_regex_tpu.ops import reference as ref_ops
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    model = zoo.email_headers_model(max_chars_size=64, headers=("from", "to"))
+    m = BitplaneMatcher(model, interpret=True)
+    s = b"from:a@b.cd\r\n"
+    res = m.match_one(s)
+    oracle = ref_ops.match_substrs(model.regex_defs, s, 64)
+    np.testing.assert_array_equal(
+        np.asarray(res.states).astype(np.int64), oracle.states
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.all_substr_ids).astype(np.int64), oracle.all_substr_ids
+    )
+    for c in m.circuits:
+        assert c.step_ops < 1500, f"unexpectedly large circuit {c.step_ops}"

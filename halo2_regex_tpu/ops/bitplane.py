@@ -644,6 +644,16 @@ class BitplaneMatcher:
         def run(chars, lengths):
             B, Lin = chars.shape
             assert Lin == L
+            # whole packed words need B % (32*LANE) == 0; pad in-graph and
+            # slice the outputs back (callers may invoke run/core directly,
+            # e.g. under shard_map or benchmark harnesses)
+            B_orig = B
+            tile = 32 * LANE
+            if B % tile != 0:
+                pad = tile - B % tile
+                chars = jnp.pad(chars, ((0, pad), (0, 0)))
+                lengths = jnp.pad(lengths, (0, pad))
+                B = B + pad
             NW = B // 32
             NWS = NW // LANE
 
@@ -765,7 +775,7 @@ class BitplaneMatcher:
             is_start_sum = jnp.concatenate([start_sum, zcol], axis=1)
             is_end_sum = jnp.concatenate([zcol, end_sum], axis=1)
 
-            return dict(
+            out = dict(
                 all_enable_flags=enable,
                 all_characters=chars_v,
                 all_substr_ids=all_ids,
@@ -784,22 +794,16 @@ class BitplaneMatcher:
                 has_dead=has_dead,
                 match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
             )
+            if B_orig != B:
+                out = {k: v[:B_orig] for k, v in out.items()}
+            return out
 
         self.core = run  # unjitted — usable inside shard_map
         self._run = jax.jit(run)
 
-    # B must be a multiple of 32*LANE for whole packed words; pad otherwise.
     def __call__(self, chars, lengths) -> RegexResult:
         chars = jnp.asarray(chars, jnp.uint8)
         lengths = jnp.asarray(lengths, jnp.int32)
-        B = chars.shape[0]
-        tile = 32 * LANE
-        if B % tile != 0:
-            pad = tile - B % tile
-            chars = jnp.pad(chars, ((0, pad), (0, 0)))
-            lengths = jnp.pad(lengths, (0, pad))
-            out = self._run(chars, lengths)
-            return RegexResult(**{k: v[:B] for k, v in out.items()})
         return RegexResult(**self._run(chars, lengths))
 
     def scan_planes(self, bits_stack: jnp.ndarray, d: int = 0) -> jnp.ndarray:

@@ -124,12 +124,9 @@ class PallasMatcher:
         compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
         mode: str = "auto",  # "auto" | "split" | "monolithic"
         max_pairs: int = 160,  # split mode needs few valid substr pairs
-        interleave: int = 1,  # independent lane-half chains in the scan
         table_dtype: str = "bf16",  # "bf16" | "int8" (2x MXU rate; values
         #   stored offset by -128 so 0..255 fits int8, re-added after the
         #   one-hot matmul since each row has exactly one hit)
-        #   (interleave=2 is interpret-verified but does not compile on the
-        #   current Mosaic build — re-test per docs/ROADMAP.md)
     ):
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
@@ -365,221 +362,11 @@ class PallasMatcher:
 
         firsts = [int(model.first_states[d]) for d in range(n_defs)]
 
-        def fwd_kernel(
-            ctab_ref,  # [n_defs, k_pad, 4S] f32
-            raw_ref,  # [n_defs, 256, 4S] f32 (present even if unused)
-            chars_ref,  # [LC, TB] int32 block
-            lengths_ref,  # [1, TB] int32
-            states_ref,  # [n_defs, LC, TB] out
-            ids_ref,
-            start_ref,
-            endf_ref,
-            fwd_ref,  # [LC, TB] out
-            state_scr,  # [n_defs, TB] scratch
-            carry_scr,  # [4, TB] scratch: fwd last, prev_ids, prev_endf, pad
-        ):
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                for d in range(n_defs):
-                    state_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
-                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
-
-            lengths = lengths_ref[0, :]
-            base = l * LC
-
-            for d in range(n_defs):
-                use_classes, cls0, terms, ctab = class_info[d]
-                if use_classes:
-                    t_bf = ctab_ref[d].astype(jnp.bfloat16)  # [k_pad, 4S]
-                else:
-                    t_bf = raw_ref[d].astype(jnp.bfloat16)  # [256, 4S]
-                kdim = t_bf.shape[0]
-
-                def body(i, s, d=d, t_bf=t_bf, use_classes=use_classes,
-                         cls0=cls0, terms=terms, kdim=kdim):
-                    c = chars_ref[i, :]  # [TB]
-                    if use_classes:
-                        cls = jnp.full((TB,), cls0, jnp.int32)
-                        for b_r, delta in terms:
-                            cls = cls + delta * (c >= b_r).astype(jnp.int32)
-                    else:
-                        cls = c
-                    onehot = (
-                        cls[:, None]
-                        == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                    ).astype(jnp.bfloat16)
-                    cols = jnp.dot(
-                        onehot, t_bf, preferred_element_type=jnp.float32
-                    ).astype(jnp.int32)  # [TB, 4S]
-                    en = ((base + i) < lengths).astype(jnp.int32)
-                    # Extraction: one-hot select (compare+multiply+lane-
-                    # reduce) by default — take_along_axis mis-lowers narrow
-                    # indices and costs ~8 gathers/cycle (probe_tpu3). The
-                    # full-width take_along form is kept as a fallback mode.
-                    if extract == "select":
-                        sel = (
-                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
-                        ).astype(jnp.int32)
-
-                        def pick(kk):
-                            return jnp.sum(
-                                cols[:, kk * S : (kk + 1) * S] * sel, axis=-1
-                            )
-
-                    else:
-                        idx = jnp.broadcast_to(s[:, None], (TB, S))
-
-                        def pick(kk):
-                            return jnp.take_along_axis(
-                                cols[:, kk * S : (kk + 1) * S], idx, axis=-1
-                            )[:, 0]
-
-                    nxt = pick(0)
-                    states_ref[d, i, :] = nxt
-                    ids_ref[d, i, :] = pick(1) * en
-                    start_ref[d, i, :] = pick(2) * en
-                    endf_ref[d, i, :] = pick(3) * en
-                    return nxt
-
-                state_scr[d, :] = jax.lax.fori_loop(
-                    0, LC, body, state_scr[d, :]
-                )
-
-            # forward mask FSM over this chunk (lib.rs:598-645)
-            def sum_over_defs(ref, i):
-                acc = ref[0, i, :]
-                for d in range(1, n_defs):
-                    acc = acc + ref[d, i, :]
-                return acc
-
-            def fwd_body(i, carry):
-                last, prev_ids, prev_endf = carry
-                cur_ids = sum_over_defs(ids_ref, i)
-                st = sum_over_defs(start_ref, i)
-                ef = prev_endf  # is_end_sum[i] = endf[i-1]
-                changed = (prev_ids != cur_ids).astype(jnp.int32)
-                is_set = (st > 0) & (changed > 0)
-                is_reset = (st == 0) & (ef > 0) & (changed > 0)
-                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                fwd_ref[i, :] = new
-                return new, cur_ids, sum_over_defs(endf_ref, i)
-
-            out_carry = jax.lax.fori_loop(
-                0,
-                LC,
-                fwd_body,
-                (carry_scr[0, :], carry_scr[1, :], carry_scr[2, :]),
-            )
-            carry_scr[0, :] = out_carry[0]
-            carry_scr[1, :] = out_carry[1]
-            carry_scr[2, :] = out_carry[2]
-
-        def bwd_kernel(ids_ref, start_ref, endf_ref, bwd_ref, carry_scr):
-            # grid dim 1 iterates chunks in REVERSE via the index maps.
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)  # ids_sum[j+1]
-                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)  # start_sum[j+1]
-
-            def sum_over_defs(ref, i):
-                acc = ref[0, i, :]
-                for d in range(1, n_defs):
-                    acc = acc + ref[d, i, :]
-                return acc
-
-            def body(i, carry):
-                last, next_ids, next_start = carry
-                j = LC - 1 - i
-                cur_ids = sum_over_defs(ids_ref, j)
-                ef = sum_over_defs(endf_ref, j)  # is_end_sum[j+1]
-                changed = (next_ids != cur_ids).astype(jnp.int32)
-                is_set = (ef > 0) & (changed > 0)
-                is_reset = (ef == 0) & (next_start > 0) & (changed > 0)
-                new = jnp.where(is_set, 1, jnp.where(is_reset, 0, last))
-                bwd_ref[j, :] = new
-                return new, cur_ids, sum_over_defs(start_ref, j)
-
-            out_carry = jax.lax.fori_loop(
-                0,
-                LC,
-                body,
-                (carry_scr[0, :], carry_scr[1, :], carry_scr[2, :]),
-            )
-            carry_scr[0, :] = out_carry[0]
-            carry_scr[1, :] = out_carry[1]
-            carry_scr[2, :] = out_carry[2]
-
         tables_c = jnp.asarray(ctabs)
         tables_raw = jnp.asarray(packed if raw_needed else packed[:, :1, :])
         tables_joint = jnp.asarray(
             joint_tab if joint_tab is not None else np.zeros((8, 8), np.float32)
         )
-
-        def make_fwd(B):
-            n_b = B // TB
-            return pl.pallas_call(
-                fwd_kernel,
-                grid=(n_b, n_l),
-                in_specs=[
-                    pl.BlockSpec(
-                        tables_c.shape, lambda b, l: (0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        tables_raw.shape, lambda b, l: (0, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec((LC, TB), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TB), lambda b, l: (0, b), memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec(
-                        (n_defs, LC, TB), lambda b, l: (0, l, b),
-                        memory_space=pltpu.VMEM,
-                    )
-                ] * 4
-                + [
-                    pl.BlockSpec((LC, TB), lambda b, l: (l, b), memory_space=pltpu.VMEM),
-                ],
-                out_shape=[
-                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
-                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
-                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
-                    jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
-                    jax.ShapeDtypeStruct((L, B), jnp.int32),
-                ],
-                scratch_shapes=[
-                    pltpu.VMEM((n_defs, TB), jnp.int32),
-                    pltpu.VMEM((4, TB), jnp.int32),
-                ],
-                interpret=interpret,
-            )
-
-        def make_bwd(B):
-            n_b = B // TB
-            rev = lambda b, l: (0, n_l - 1 - l, b)
-            rev2 = lambda b, l: (n_l - 1 - l, b)
-            return pl.pallas_call(
-                bwd_kernel,
-                grid=(n_b, n_l),
-                in_specs=[
-                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
-                    pl.BlockSpec((n_defs, LC, TB), rev, memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec((LC, TB), rev2, memory_space=pltpu.VMEM),
-                out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
-                scratch_shapes=[pltpu.VMEM((4, TB), jnp.int32)],
-                interpret=interpret,
-            )
 
         SLAB = min(slab, L)
         while L % SLAB != 0:
@@ -924,48 +711,14 @@ class PallasMatcher:
                         ]
                         befores = []
                         ends = []
-                        if interleave == 2:
-                            # two independent lane-half chains: while one
-                            # half's select is in flight the other's issues
-                            # (the chain is latency-bound, docs/PERF.md).
-                            TB2 = TB // 2
-                            sA, sB = s[:TB2], s[TB2:]
-                            for j in range(SLAB):
-                                befores.append((sA, sB))
-                                selA = (
-                                    jax.lax.broadcasted_iota(
-                                        jnp.int32, (TB2, S), 1
-                                    )
-                                    == sA[:, None]
-                                ).astype(jnp.int32)
-                                selB = (
-                                    jax.lax.broadcasted_iota(
-                                        jnp.int32, (TB2, S), 1
-                                    )
-                                    == sB[:, None]
-                                ).astype(jnp.int32)
-                                sA = jnp.sum(cols2[j][:TB2] * selA, axis=-1)
-                                sB = jnp.sum(cols2[j][TB2:] * selB, axis=-1)
-                                ends.append(jnp.concatenate([sA, sB], 0))
-                            s = ends[-1]
-                            rows = []
-                            for j in range(SLAB):
-                                bA, bB = befores[j]
-                                rows.append(
-                                    pick(cols1[j], jnp.concatenate([bA, bB], 0))
-                                )
-                                rows.append(ends[j])
-                        else:
-                            for j in range(SLAB):
-                                befores.append(s)
-                                s = pick(cols2[j], s)
-                                ends.append(s)
-                            rows = []
-                            for j in range(SLAB):
-                                rows.append(
-                                    pick(cols1[j], befores[j])
-                                )  # off-chain
-                                rows.append(ends[j])
+                        for j in range(SLAB):
+                            befores.append(s)
+                            s = pick(cols2[j], s)
+                            ends.append(s)
+                        rows = []
+                        for j in range(SLAB):
+                            rows.append(pick(cols1[j], befores[j]))  # off-chain
+                            rows.append(ends[j])
                         states_ref[d, pl.ds(base, 2 * SLAB), :] = jnp.stack(
                             rows, 0
                         )
@@ -1810,15 +1563,10 @@ class PallasMatcher:
                     states_tm, lengths[None, :]
                 )
                 fwd_tm, bwd_tm = make_fsm(B)(ids_tm, start_tm, endf_tm)
-            elif grid_mode == "batch":
+            else:
                 states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm = make_flat(
                     B
                 )(tables_c, tables_raw, tables_joint, ctm, lengths[None, :])
-            else:
-                states_tm, ids_tm, start_tm, endf_tm, fwd_tm = make_fwd(B)(
-                    tables_c, tables_raw, ctm, lengths[None, :]
-                )
-                bwd_tm = make_bwd(B)(ids_tm, start_tm, endf_tm)
 
             pos = jnp.arange(L, dtype=jnp.int32)
             enable = (pos[None, :] < lengths[:, None]).astype(jnp.int32)

@@ -1,0 +1,103 @@
+"""Device-side run extraction: masked witness columns -> compact tuples.
+
+``extract_substrings`` (ops/reference.py) decodes masked runs on the HOST,
+which means shipping the full [B, L] masked columns back per batch.  For
+corpus scanning at GB/s that traffic dwarfs the matches; this module
+decodes the runs ON DEVICE into fixed-shape compact arrays — one
+(offset, length, id, bytes) record per extracted substring — so only
+O(B * max_runs * max_len) bytes leave the chip.
+
+Pure XLA (scatter with out-of-range drop; no data-dependent shapes), so
+it fuses onto any backend's output and works under jit/shard_map.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def extract_runs(
+    all_substr_ids: jnp.ndarray,  # [B, L] masked ids (0 = no substring)
+    masked_characters: jnp.ndarray,  # [B, L]
+    max_runs: int = 4,
+    max_len: int = 0,  # 0 = skip byte payloads
+) -> Dict[str, jnp.ndarray]:
+    """Decode masked runs into fixed-shape arrays.
+
+    Returns ``offsets``/``lengths``/``ids`` of shape [B, max_runs]
+    (``offsets`` = -1 past the last run), ``n_runs`` [B] (the TRUE run
+    count, so ``n_runs > max_runs`` flags dropped runs), and — when
+    ``max_len`` > 0 — ``bytes`` [B, max_runs, max_len] uint8, zero padded.
+    """
+    a = jnp.asarray(all_substr_ids)
+    B, L = a.shape
+    zcol = jnp.zeros((B, 1), a.dtype)
+    prev = jnp.concatenate([zcol, a[:, :-1]], axis=1)
+    nxt = jnp.concatenate([a[:, 1:], zcol], axis=1)
+    is_start = (a != 0) & (a != prev)
+    is_end = (a != 0) & (a != nxt)
+
+    run_idx = jnp.cumsum(is_start, axis=1) - 1  # [B, L], valid where a != 0
+    rows = jnp.arange(B)[:, None]
+    pos = jnp.arange(L)[None, :]
+
+    def scatter(pred, values, fill):
+        idx = jnp.where(pred, run_idx, max_runs)  # out-of-range -> dropped
+        out = jnp.full((B, max_runs + 1), fill, values.dtype)
+        out = out.at[rows, idx].set(values, mode="drop")
+        return out[:, :max_runs]
+
+    offsets = scatter(is_start, jnp.broadcast_to(pos, (B, L)), -1)
+    ends = scatter(is_end, jnp.broadcast_to(pos, (B, L)), -1)
+    ids = scatter(is_start, a.astype(jnp.int32), 0)
+    lengths = jnp.where(offsets >= 0, ends - offsets + 1, 0)
+    n_runs = is_start.sum(axis=1).astype(jnp.int32)
+
+    out = dict(offsets=offsets, lengths=lengths, ids=ids, n_runs=n_runs)
+    if max_len:
+        chars = jnp.asarray(masked_characters)
+        # gather a max_len window from each run start (clamped; masked
+        # chars are 0 outside runs so over-reads self-clean)
+        base = jnp.clip(offsets, 0, L - 1)  # [B, R]
+        win = base[:, :, None] + jnp.arange(max_len)[None, None, :]
+        win = jnp.clip(win, 0, L - 1)
+        payload = jnp.take_along_axis(
+            chars[:, None, :].repeat(max_runs, 1).reshape(B * max_runs, L),
+            win.reshape(B * max_runs, max_len).astype(jnp.int32),
+            axis=1,
+        ).reshape(B, max_runs, max_len)
+        inlen = jnp.arange(max_len)[None, None, :] < lengths[:, :, None]
+        valid = (offsets >= 0)[:, :, None]
+        out["bytes"] = jnp.where(valid & inlen, payload, 0).astype(jnp.uint8)
+    return out
+
+
+def runs_to_python(out: Dict[str, jnp.ndarray], row: int):
+    """Host-side view of one string's runs as (offset, text, id) tuples
+    (mirrors ops/reference.extract_substrings)."""
+    offs = np.asarray(out["offsets"][row])
+    ids = np.asarray(out["ids"][row])
+    res = []
+    if "bytes" in out:
+        payload = np.asarray(out["bytes"][row])
+        lens = np.asarray(out["lengths"][row])
+        for r in range(offs.shape[0]):
+            if offs[r] < 0:
+                break
+            res.append(
+                (
+                    int(offs[r]),
+                    bytes(payload[r][: lens[r]]).decode("latin-1"),
+                    int(ids[r]),
+                )
+            )
+    else:
+        for r in range(offs.shape[0]):
+            if offs[r] < 0:
+                break
+            res.append((int(offs[r]), None, int(ids[r])))
+    return res

@@ -102,6 +102,17 @@ def _combine_strided(R: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def raw_quads(chars: jnp.ndarray, L_pad: int) -> jnp.ndarray:
+    """[B, L] uint8 -> [L_pad, 8, B//32] int32 raw quad rows (transpose +
+    bitcast + reshape only; the plane extraction happens in the pack
+    kernel or a fused XLA reduce)."""
+    B, L = chars.shape
+    x = chars.T
+    if L_pad != L:
+        x = jnp.pad(x, ((0, L_pad - L), (0, 0)))
+    return _bytes_to_words(x).reshape(L_pad, 8, B // 32)
+
+
 def pack_bytes(chars: jnp.ndarray, L_pad: int) -> List[jnp.ndarray]:
     """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, B//32] int32.
 
@@ -480,6 +491,58 @@ class BitplaneMatcher:
 
         self._make_scan = make_scan
 
+        # ----- pack kernel -----
+        # Byte-bit plane extraction from the raw quad rows as a
+        # position-parallel Pallas kernel: VMEM-resident bit logic instead
+        # of an XLA pass that materializes per-plane intermediates.
+        PLC = min(128, L_pad)
+        while L_pad % PLC != 0:
+            PLC //= 2
+
+        def make_pack(NWS: int):
+            NT = min(nws_tile, NWS)
+            while NWS % NT != 0:
+                NT -= 1
+
+            def kern(r_ref, out_ref):
+                mask = jnp.int32(_QUAD_MASK)
+                for j in range(8):
+                    acc = None
+                    for m in range(8):
+                        v = ((r_ref[:, m] >> j) & mask) << m
+                        acc = v if acc is None else acc | v
+                    out_ref[:, j] = acc
+
+            return pl.pallas_call(
+                kern,
+                grid=(NWS // NT, L_pad // PLC),
+                in_specs=[
+                    pl.BlockSpec(
+                        (PLC, 8, NT, LANE),
+                        lambda b, l: (l, 0, b, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (PLC, 8, NT, LANE),
+                    lambda b, l: (l, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (L_pad, 8, NWS, LANE), jnp.int32
+                ),
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_pack = make_pack
+
         # ----- fused tag + FSM "post" kernel -----
         # Position-parallel packed-domain work (pair circuit, id-sum adder,
         # both mask FSM log-scans) in ONE kernel with whole-L blocks tiled
@@ -657,11 +720,10 @@ class BitplaneMatcher:
             NW = B // 32
             NWS = NW // LANE
 
-            # 1. pack byte bit-planes -> kernel input stack
-            byte_planes = pack_bytes(chars, L_pad)
-            bits_stack = jnp.stack(
-                [p.reshape(L_pad, NWS, LANE) for p in byte_planes], axis=1
-            )  # [L_pad, 8, NWS, LANE]
+            # 1. pack byte bit-planes -> kernel input stack (bitcast view
+            # in XLA, plane extraction in the pack kernel)
+            R = raw_quads(chars, L_pad).reshape(L_pad, 8, NWS, LANE)
+            bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
 
             # enable plane (pos < length), computed directly in the packed
             # NWS-major domain from lengths (no second [B, L] transpose).

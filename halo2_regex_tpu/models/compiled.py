@@ -49,6 +49,18 @@ class CompiledRegexModel:
     substr_offsets: np.ndarray  # int32 [n_defs] (first global id per def)
     is_start_table: np.ndarray  # bool [total_substrs + 1, s_pad]
     is_end_table: np.ndarray  # bool [total_substrs + 1, s_pad]
+    # Acceptance-set membership per def (opt-in multi-accept extension;
+    # defaults to the one-hot of accepted_state_val = reference semantics,
+    # defs.rs:31-33).
+    accept_mask: np.ndarray = None  # bool [n_defs, s_pad]
+
+    def __post_init__(self):
+        if self.accept_mask is None:
+            mask = np.zeros((len(self.regex_defs), self.s_pad), bool)
+            for d, defs in enumerate(self.regex_defs):
+                for a in defs.accept_set:
+                    mask[d, a] = True
+            self.accept_mask = mask
 
     @property
     def n_defs(self) -> int:
@@ -75,6 +87,10 @@ class CompiledRegexModel:
         accepted_states = np.array(
             [d.allstr.accepted_state_val for d in regex_defs], np.int32
         )
+        accept_mask = np.zeros((n_defs, s_pad), bool)
+        for d, defs in enumerate(regex_defs):
+            for a in defs.accept_set:
+                accept_mask[d, a] = True
         dummy_states = np.array([l + 1 for l in largest], np.int32)
         dead_states = np.array([l + 2 for l in largest], np.int32)
 
@@ -118,6 +134,7 @@ class CompiledRegexModel:
             substr_offsets=substr_offsets,
             is_start_table=is_start_table,
             is_end_table=is_end_table,
+            accept_mask=accept_mask,
         )
 
     @classmethod
@@ -137,20 +154,42 @@ class CompiledRegexModel:
         return cls.from_defs(regex_defs, max_chars_size, **kw)
 
     @classmethod
-    def from_decomposed(cls, configs, max_chars_size: Optional[int] = None, **kw):
-        """Compile one or more DecomposedRegexConfig objects into a model."""
+    def from_decomposed(
+        cls,
+        configs,
+        max_chars_size: Optional[int] = None,
+        multi_accept: bool = False,
+        **kw,
+    ):
+        """Compile one or more DecomposedRegexConfig objects into a model.
+
+        ``multi_accept``: honor EVERY accepting DFA state (opt-in extension
+        fixing the reference's optional-tail footgun, defs.rs:31-33 /
+        warn_if_multi_accept); default keeps reference semantics (first
+        accepting state only).
+        """
         from ..compiler.decomposed import DecomposedRegexConfig
         from ..compiler.pipeline import dfa_to_regex_def_text
 
         if isinstance(configs, DecomposedRegexConfig):
             configs = [configs]
         texts = []
+        accept_sets = []
         for cfg in configs:
             nodes = cfg.compile_dfa()
             texts.append((dfa_to_regex_def_text(nodes), cfg.substr_texts()))
+            accept_sets.append(
+                [i for i, n in enumerate(nodes) if n.type == "accept"]
+            )
         if max_chars_size is None:
             max_chars_size = max(cfg.max_byte_size for cfg in configs)
-        return cls.from_texts(texts, max_chars_size, **kw)
+        model = cls.from_texts(texts, max_chars_size, **kw)
+        if multi_accept:
+            for d, accepts in enumerate(accept_sets):
+                model.regex_defs[d].accept_states = accepts
+                model.accept_mask[d, :] = False
+                model.accept_mask[d, accepts] = True
+        return model
 
     # ------------------------------------------------------------------
     # Artifact I/O — the compile-once/reload-forever layer (the reference
@@ -159,6 +198,7 @@ class CompiledRegexModel:
         meta = {
             "max_chars_size": self.max_chars_size,
             "s_pad": self.s_pad,
+            "accept_states": [d.accept_states for d in self.regex_defs],
             "allstr_texts": [d.allstr.to_text() for d in self.regex_defs],
             "substr_texts": [[s.to_text() for s in d.substrs] for d in self.regex_defs],
         }
@@ -174,18 +214,25 @@ class CompiledRegexModel:
             substr_offsets=self.substr_offsets,
             is_start_table=self.is_start_table,
             is_end_table=self.is_end_table,
+            accept_mask=self.accept_mask,
         )
 
     @classmethod
     def load(cls, path) -> "CompiledRegexModel":
         with np.load(path) as z:
             meta = json.loads(bytes(z["meta"]).decode())
+            accepts = meta.get(
+                "accept_states", [None] * len(meta["allstr_texts"])
+            )
             regex_defs = [
                 RegexDefs(
                     allstr=AllstrRegexDef.read_from_str(a),
                     substrs=[SubstrRegexDef.read_from_str(s) for s in subs],
+                    accept_states=acc,
                 )
-                for a, subs in zip(meta["allstr_texts"], meta["substr_texts"])
+                for a, subs, acc in zip(
+                    meta["allstr_texts"], meta["substr_texts"], accepts
+                )
             ]
             return cls(
                 regex_defs=regex_defs,
@@ -200,4 +247,7 @@ class CompiledRegexModel:
                 substr_offsets=z["substr_offsets"],
                 is_start_table=z["is_start_table"],
                 is_end_table=z["is_end_table"],
+                accept_mask=z["accept_mask"]
+                if "accept_mask" in z.files
+                else None,
             )

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import io
 from dataclasses import dataclass, field
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 
 @dataclass
@@ -137,6 +137,18 @@ class RegexDefs:
 
     allstr: AllstrRegexDef = field(default_factory=AllstrRegexDef)
     substrs: List[SubstrRegexDef] = field(default_factory=list)
+    # Opt-in extension (NOT part of the reference text format, which holds
+    # exactly one accepted state, defs.rs:31-33): the full accepting-state
+    # set. A final part with an optional tail like `(x)?` yields several
+    # accepting DFA states; the reference silently rejects all but the
+    # first. None = single-accept reference semantics.
+    accept_states: Optional[List[int]] = None
+
+    @property
+    def accept_set(self) -> List[int]:
+        if self.accept_states is not None:
+            return list(self.accept_states)
+        return [self.allstr.accepted_state_val]
 
     @property
     def dummy_state_val(self) -> int:

@@ -1529,6 +1529,7 @@ class PallasMatcher:
 
         model_arrays = dict(
             accepted_states=jnp.asarray(model.accepted_states),
+            accept_mask=jnp.asarray(model.accept_mask),
             dummy_states=jnp.asarray(model.dummy_states),
             dead_states=jnp.asarray(model.dead_states),
             first_states=jnp.asarray(model.first_states),
@@ -1591,7 +1592,9 @@ class PallasMatcher:
             final = jnp.take_along_axis(
                 raw, lengths[:, None, None].repeat(n_defs, 1), axis=2
             )[:, :, 0]
-            accepted = final == model_arrays["accepted_states"][None, :]
+            accepted = model_arrays["accept_mask"][
+                jnp.arange(n_defs)[None, :], final
+            ]
             has_dead = final == model_arrays["dead_states"][None, :]
 
             substr_id_sum = ids_per_def.sum(axis=1)

@@ -158,7 +158,7 @@ def match_substrs(
         substr_ids_per_def[d, :length] = substr_ids_raw[d]
         is_start_vals[d, : length + 1] = is_starts_raw[d]
         is_end_vals[d, : length + 1] = is_ends_raw[d]
-        accepted[d] = seq[length] == defs.allstr.accepted_state_val
+        accepted[d] = seq[length] in defs.accept_set
 
     # Summed-across-defs columns (lib.rs:459-519). The reference's assigned
     # arrays structurally zero index 0 of is_end and index max of both sums;

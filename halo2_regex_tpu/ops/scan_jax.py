@@ -33,6 +33,7 @@ def _model_arrays(model: CompiledRegexModel) -> dict:
         substr_id_table=jnp.asarray(model.substr_id_table),
         first_states=jnp.asarray(model.first_states),
         accepted_states=jnp.asarray(model.accepted_states),
+        accept_mask=jnp.asarray(model.accept_mask),
         dummy_states=jnp.asarray(model.dummy_states),
         dead_states=jnp.asarray(model.dead_states),
         is_start_table=jnp.asarray(model.is_start_table),
@@ -145,7 +146,9 @@ def _match_core(arrays: dict, n_defs: int, chars: jnp.ndarray, lengths: jnp.ndar
     final_state = jnp.take_along_axis(
         raw, lengths[:, None, None].repeat(n_defs, 1), axis=2
     )[:, :, 0]
-    accepted_arr = final_state == arrays["accepted_states"][None, :]
+    accepted_arr = arrays["accept_mask"][
+        jnp.arange(final_state.shape[1])[None, :], final_state
+    ]
     # DEAD is absorbing, so deadness at the final state == any dead.
     has_dead_arr = final_state == arrays["dead_states"][None, :]
 

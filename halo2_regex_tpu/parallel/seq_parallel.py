@@ -211,7 +211,7 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
         # empty input: no shard owns byte -1; final = first state
         final_state = jnp.where(lengths == 0, first, final_state)
 
-        accepted.append(final_state == arrays["accepted_states"][d])
+        accepted.append(arrays["accept_mask"][d, final_state])
         has_dead.append(final_state == arrays["dead_states"][d])
         states_all.append(after)
         ids_all.append(ids_d)

@@ -103,7 +103,7 @@ def check_witness_batch(
         pre = np.concatenate([np.ones((B, 1), enable.dtype), enable], axis=1)
         cur = np.concatenate([enable, np.zeros((B, 1), enable.dtype)], axis=1)
         boundary = (pre - cur) == 1
-        acc = states[:, d] == defs.allstr.accepted_state_val
+        acc = np.isin(states[:, d], defs.accept_set)
         ok &= (~boundary | acc).all(axis=1)
     return ok if not squeeze else ok[:1]
 
@@ -187,7 +187,7 @@ def check_witness(
             pre = 1 if i == 0 else int(enable[i - 1])
             cur = 0 if i == mx else int(enable[i])
             flag_change = pre - cur
-            if flag_change == 1 and states[d, i] != defs.allstr.accepted_state_val:
+            if flag_change == 1 and int(states[d, i]) not in defs.accept_set:
                 errors.append(
                     f"acceptance: def {d} boundary at row {i}: state "
                     f"{states[d,i]} != accepted {defs.allstr.accepted_state_val}"

@@ -18,6 +18,14 @@ sys.setrecursionlimit(100_000)
 
 import numpy as np
 
+import jax
+
+# Honor an explicit cpu request before the backend initializes (TPU relay
+# sitecustomize hooks otherwise force their platform and the example pays
+# a multi-minute remote-compile warmup).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    jax.config.update("jax_platforms", "cpu")
+
 import halo2_regex_tpu as h2r
 
 MAX_STRING_LEN = 128  # regex.rs:20

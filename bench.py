@@ -103,7 +103,12 @@ def main() -> int:
         try:
             from halo2_regex_tpu.ops.bitplane import BitplaneMatcher  # noqa: E402
 
-            matcher = BitplaneMatcher(model)
+            # Headline: the compact witness emission — exactly the column
+            # set BASELINE's ScanTraffic roofline models (~6 B/input byte:
+            # states, masked ids, masked chars, packed flags byte). The
+            # full RegexResult set (~14 B/byte) is measured alongside.
+            matcher = BitplaneMatcher(model, columns="witness")
+            matcher_full = BitplaneMatcher(model)
 
             def run_one(c, m=matcher):
                 return m._run(c, lengths_j)["mask"]
@@ -177,6 +182,24 @@ def main() -> int:
         witness_bytes = result_nbytes(full)
     except Exception:
         witness_bytes = 0
+    full_value = None
+    full_bytes = None
+    if backend_name == "bitplane":
+        try:
+            def run_full(c, m=matcher_full):
+                return m._run(c, lengths_j)["mask"]
+
+            mkf = chained_of(run_full)
+            secs_f = []
+            for _ in range(2):
+                s = benchmark_chained(mkf, (chars_j,), ks=(1, 3))
+                if s > 1e-7:
+                    secs_f.append(s)
+            if secs_f:
+                full_value = B * L / min(secs_f)
+            full_bytes = result_nbytes(matcher_full._run(chars_j, lengths_j))
+        except Exception:
+            pass
     rows_per_sec = B * L / sec
     witness_bytes_per_sec = witness_bytes / sec if witness_bytes else None
 
@@ -225,6 +248,10 @@ def main() -> int:
         if witness_bytes
         else None,
         "batch4096_bytes_per_sec": b4096,
+        "full_columns_bytes_per_sec": full_value,
+        "full_columns_bytes_per_input_byte": (full_bytes / (B * L))
+        if full_bytes
+        else None,
         "total_runtime_sec": round(time.time() - t_start, 1),
     }
     print(json.dumps(result))

@@ -383,6 +383,9 @@ class BitplaneMatcher:
         max_step_ops: int = 4096,
         compact: bool = True,
         post: str = "pallas",  # "pallas" (fused tag+FSM kernel) | "xla"
+        columns: str = "full",  # "full" (RegexResult set) | "witness"
+        #   (compact ~6 B/input-byte emission: states, masked ids, masked
+        #   chars, one packed flags byte — the BASELINE traffic model)
     ):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -390,6 +393,7 @@ class BitplaneMatcher:
         self.model = model
         self.interpret = interpret
         self.compact = compact
+        self.columns = columns
         n_defs = model.n_defs
         L = model.max_chars_size
         total = model.total_substrs
@@ -766,6 +770,76 @@ class BitplaneMatcher:
                 def planes_of(name, pp=post_planes):
                     return pp[name]
 
+            if columns == "witness":
+                # Compact witness emission — the BASELINE ScanTraffic model
+                # (~6 B per input byte): per-def uint8 state rows, masked
+                # ids, masked chars, and ONE packed flags byte
+                # (bit0 mask, 1 fwd, 2 bwd, 3 enable, 4 start-any,
+                # 5 endf-any).  Full-column RegexResult stays the default.
+                named = [
+                    (
+                        "flags",
+                        planes_of("mask")
+                        + planes_of("fwd")
+                        + planes_of("bwd")
+                        + [en_plane]
+                        + [planes_of("start0")[0]]
+                        + [planes_of("endf0")[0]],
+                    ),
+                    ("masked_idsum", planes_of("masked_idsum")),
+                ]
+                for d in range(n_defs):
+                    named.append(
+                        (
+                            f"states{d}",
+                            [
+                                logs_per_def[d][:, j]
+                                for j in range(self.circuits[d].sb)
+                            ],
+                        )
+                    )
+                vals = unpack_groups(named, L)
+                flags = vals["flags"]
+                mask = flags & 1
+                chars_v = chars.astype(jnp.uint8)
+                after = jnp.stack(
+                    [vals[f"states{d}"] for d in range(n_defs)], axis=1
+                )
+                first = model_arrays["first_states"][None, :, None].astype(
+                    jnp.uint8
+                )
+                raw = jnp.concatenate(
+                    [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
+                )
+                posL1 = jnp.arange(L + 1, dtype=jnp.int32)
+                in_range = posL1[None, None, :] <= lengths[:, None, None]
+                dummy = model_arrays["dummy_states"][None, :, None].astype(
+                    jnp.uint8
+                )
+                states = jnp.where(in_range, raw, dummy)
+                final = jnp.take_along_axis(
+                    raw,
+                    lengths[:, None, None].repeat(n_defs, 1).astype(jnp.int32),
+                    axis=2,
+                )[:, :, 0].astype(jnp.int32)
+                accepted = model_arrays["accept_mask"][
+                    jnp.arange(n_defs)[None, :], final
+                ]
+                has_dead = final == model_arrays["dead_states"][None, :]
+                out = dict(
+                    states=states,
+                    all_substr_ids=vals["masked_idsum"],
+                    masked_characters=mask * chars_v,
+                    flags=flags,
+                    mask=mask,
+                    accepted=accepted,
+                    has_dead=has_dead,
+                    match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+                )
+                if B_orig != B:
+                    out = {k: v[:B_orig] for k, v in out.items()}
+                return out
+
             # 5. unpack: one grouped bit-expansion for everything
             named = [
                 ("idsum", planes_of("idsum")),
@@ -866,10 +940,13 @@ class BitplaneMatcher:
         self.core = run  # unjitted — usable inside shard_map
         self._run = jax.jit(run)
 
-    def __call__(self, chars, lengths) -> RegexResult:
+    def __call__(self, chars, lengths):
         chars = jnp.asarray(chars, jnp.uint8)
         lengths = jnp.asarray(lengths, jnp.int32)
-        return RegexResult(**self._run(chars, lengths))
+        out = self._run(chars, lengths)
+        if self.columns == "witness":
+            return out  # compact emission dict (see constructor docstring)
+        return RegexResult(**out)
 
     def scan_planes(self, bits_stack: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         """Run just the sequential scan kernel for def ``d`` on a prepared

@@ -195,3 +195,45 @@ def test_bitplane_post_xla_variant(model12):
     res = m.match_one(s)
     oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
     assert_same(res, oracle)
+
+
+def test_bitplane_witness_columns_mode(model3):
+    """The compact witness emission (columns='witness') agrees with the
+    full RegexResult columns field by field."""
+    full = BitplaneMatcher(model3, interpret=True)
+    compact = BitplaneMatcher(model3, interpret=True, columns="witness")
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    rf = full(chars, lengths)
+    rc = compact(chars, lengths)
+    np.testing.assert_array_equal(
+        np.asarray(rc["states"]).astype(np.int64),
+        np.asarray(rf.states).astype(np.int64),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rc["all_substr_ids"]).astype(np.int64),
+        np.asarray(rf.all_substr_ids).astype(np.int64),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rc["masked_characters"]).astype(np.int64),
+        np.asarray(rf.masked_characters).astype(np.int64),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rc["match_ok"]), np.asarray(rf.match_ok)
+    )
+    flags = np.asarray(rc["flags"]).astype(np.int64)
+    np.testing.assert_array_equal(flags & 1, np.asarray(rf.mask).astype(np.int64))
+    np.testing.assert_array_equal(
+        (flags >> 1) & 1, np.asarray(rf.fwd_mask).astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        (flags >> 2) & 1, np.asarray(rf.bwd_mask).astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        (flags >> 3) & 1, np.asarray(rf.all_enable_flags).astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        (flags >> 4) & 1, np.asarray(rf.start_enable[:, 0]).astype(np.int64)
+    )
+    np.testing.assert_array_equal(
+        (flags >> 5) & 1, np.asarray(rf.end_enable[:, 0]).astype(np.int64)
+    )

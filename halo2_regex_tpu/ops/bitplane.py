@@ -149,6 +149,30 @@ def pack_bool(col: jnp.ndarray, L_pad: int) -> jnp.ndarray:
     )
 
 
+def transpose8_planes(planes: List[jnp.ndarray]) -> List[jnp.ndarray]:
+    """SWAR 8x8 bit-block transpose of eight int32 planes.
+
+    Input plane ``P_j`` carries bit ``j`` of each string's byte at bit
+    position ``beta = 8s+m``; output word ``O_b`` carries, in byte lane
+    ``s`` bit ``j``, the bit ``P_j[8s+b]`` — i.e. ``O_b`` holds the
+    fully-assembled VALUE BYTES of the four strings at ``beta % 8 == b``
+    (little-endian byte lanes).  72 VPU ops per 8-plane group vs ~192 for
+    per-bit extraction; the delta-swap masks make the arithmetic right
+    shifts safe (sign bits are masked off)."""
+    x = list(planes)
+    assert len(x) == 8
+    for d, mask in ((4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        m = jnp.int32(mask)
+        for i in range(8):
+            if i & d:
+                continue
+            a, b = x[i], x[i + d]
+            t = ((a >> d) ^ b) & m
+            x[i + d] = b ^ t
+            x[i] = a ^ (t << d)
+    return x
+
+
 def unpack_planes(planes: List[jnp.ndarray], L: int, out_dtype=jnp.uint8):
     """List of NB planes -> values [B, L] (bit j of the value from
     planes[j]; PI bit order inverted).  Planes are NWS-major
@@ -591,6 +615,38 @@ class BitplaneMatcher:
         P_total = off
         self._post_off = post_off
 
+        # Byte-packed witness emission: the post kernel assembles final
+        # VALUE BYTES in-register (SWAR 8x8 bit transpose per <=8-bit field
+        # group) so XLA is left with one bitcast + transpose instead of a
+        # 32-way bit expansion over every plane (the round-2 profile's
+        # dominant stage, tools/probe_tpu40.py).
+        self._bytes_mode = False
+        self._wgroups: List[List[Tuple[str, int, int]]] = []
+        if columns == "witness" and post == "pallas":
+            fields: List[Tuple[str, int]] = [
+                ("flags", 6),
+                ("masked_idsum", nsum),
+            ]
+            for d in range(n_defs):
+                fields.append((f"states{d}", self.circuits[d].sb))
+            if all(nb <= 8 for _, nb in fields):
+                self._bytes_mode = True
+                groups: List[List[Tuple[str, int, int]]] = []
+                cur: List[Tuple[str, int, int]] = []
+                bits = 0
+                for name, nb in fields:
+                    if bits + nb > 8:
+                        groups.append(cur)
+                        cur, bits = [], 0
+                    cur.append((name, bits, nb))
+                    bits += nb
+                if cur:
+                    groups.append(cur)
+                self._wgroups = groups
+                P_total = len(groups) * 8
+        bytes_mode = self._bytes_mode
+        wgroups = self._wgroups
+
         def make_post(NWS: int):
             # All arrays lead with the word-group (NWS) axis so blocks end
             # in (L_pad, LANE) — Mosaic requires the last two block dims be
@@ -679,10 +735,28 @@ class BitplaneMatcher:
                 reset_b = ~endf_any & next_start & changed_b
                 bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
                 mask = fwd & bwd
-                put("fwd", [fwd])
-                put("bwd", [bwd])
-                put("mask", [mask])
-                put("masked_idsum", [p & mask for p in ids_sum])
+                if bytes_mode:
+                    avail: Dict[str, List[jnp.ndarray]] = {
+                        "flags": [mask, fwd, bwd, en, start_any, endf_any],
+                        "masked_idsum": [p & mask for p in ids_sum],
+                    }
+                    for d in range(n_defs):
+                        avail[f"states{d}"] = [
+                            log_refs[d][0, j] for j in range(sbs[d])
+                        ]
+                    for gi, grp in enumerate(wgroups):
+                        planes: List[jnp.ndarray] = []
+                        for name, _off_b, _nb in grp:
+                            planes += avail[name]
+                        planes += [jnp.zeros_like(en)] * (8 - len(planes))
+                        words = transpose8_planes(planes)
+                        for b in range(8):
+                            out_ref[0, gi * 8 + b] = words[b]
+                else:
+                    put("fwd", [fwd])
+                    put("bwd", [bwd])
+                    put("mask", [mask])
+                    put("masked_idsum", [p & mask for p in ids_sum])
 
             in_specs = [
                 pl.BlockSpec(
@@ -777,7 +851,24 @@ class BitplaneMatcher:
             ]
 
             # 3+4. tag + id-sum + mask FSMs
-            if post == "pallas":
+            if bytes_mode:
+                # Post kernel already assembled the final value bytes —
+                # XLA only bitcasts int32 words to their four byte lanes
+                # and transposes to string-major [B, L] order (bit beta =
+                # 8s+b of word w is string 4*(w + NW*b) + s, so flat
+                # string order is dims (b, nws, lane, s)).
+                g4 = make_post(NWS)(*logs_per_def, en_plane[:, None])
+                G = len(wgroups)
+                u8 = jax.lax.bitcast_convert_type(
+                    g4.reshape(NWS, G, 8, L_pad, LANE)[:, :, :, :L],
+                    jnp.uint8,
+                )  # [NWS, G, 8, L, LANE, 4]
+                gv = u8.transpose(1, 2, 0, 4, 5, 3).reshape(G, B, L)
+                vals = {}
+                for gi, grp in enumerate(wgroups):
+                    for name, off_b, nb in grp:
+                        vals[name] = (gv[gi] >> off_b) & ((1 << nb) - 1)
+            elif post == "pallas":
                 post_out = make_post(NWS)(*logs_per_def, en_plane[:, None])
 
                 def planes_of(name):
@@ -792,7 +883,7 @@ class BitplaneMatcher:
                 def planes_of(name, pp=post_planes):
                     return pp[name]
 
-            if columns == "witness":
+            if columns == "witness" and not bytes_mode:
                 # Compact witness emission — the BASELINE ScanTraffic model
                 # (~6 B per input byte): per-def uint8 state rows, masked
                 # ids, masked chars, and ONE packed flags byte
@@ -821,6 +912,7 @@ class BitplaneMatcher:
                         )
                     )
                 vals = unpack_groups(named, L)
+            if columns == "witness":
                 flags = vals["flags"]
                 mask = flags & 1
                 chars_v = chars.astype(jnp.uint8)

@@ -62,34 +62,24 @@ def make_en(lengths):
 
 
 def stage_post(c):
+    # in bytes mode the post kernel emits byte-packed value words directly
     logs = stage_scan(c)
     en = make_en(lengths_j)
     return m._make_post(NWS)(logs, en[:, None])
 
 
 def stage_unpack(c):
-    logs = stage_scan(c)
-    en = make_en(lengths_j)
-    post_out = m._make_post(NWS)(logs, en[:, None])
-
-    def planes_of(name):
-        o, nb = m._post_off[name]
-        return [post_out[:, o + j] for j in range(nb)]
-
-    named = [
-        (
-            "flags",
-            planes_of("mask")
-            + planes_of("fwd")
-            + planes_of("bwd")
-            + [en]
-            + [planes_of("start0")[0]]
-            + [planes_of("endf0")[0]],
-        ),
-        ("masked_idsum", planes_of("masked_idsum")),
-        ("states0", [logs[:, j] for j in range(circ.sb)]),
-    ]
-    vals = unpack_groups(named, L)
+    # bytes-mode finalize: bitcast + transpose + field split
+    g4 = stage_post(c)
+    G = len(m._wgroups)
+    u8 = jax.lax.bitcast_convert_type(
+        g4.reshape(NWS, G, 8, L_pad, 128)[:, :, :, :L], jnp.uint8
+    )
+    gv = u8.transpose(1, 2, 0, 4, 5, 3).reshape(G, B, L)
+    vals = {}
+    for gi, grp in enumerate(m._wgroups):
+        for name, off_b, nb in grp:
+            vals[name] = (gv[gi] >> off_b) & ((1 << nb) - 1)
     return vals["flags"], vals["masked_idsum"], vals["states0"]
 
 

@@ -622,7 +622,11 @@ class BitplaneMatcher:
         # dominant stage, tools/probe_tpu40.py).
         self._bytes_mode = False
         self._wgroups: List[List[Tuple[str, int, int]]] = []
-        if columns == "witness" and post == "pallas":
+        if (
+            columns == "witness"
+            and post == "pallas"
+            and os.environ.get("H2R_WITNESS_BYTES", "1") != "0"
+        ):
             fields: List[Tuple[str, int]] = [
                 ("flags", 6),
                 ("masked_idsum", nsum),
@@ -863,11 +867,17 @@ class BitplaneMatcher:
                     g4.reshape(NWS, G, 8, L_pad, LANE)[:, :, :, :L],
                     jnp.uint8,
                 )  # [NWS, G, 8, L, LANE, 4]
-                gv = u8.transpose(1, 2, 0, 4, 5, 3).reshape(G, B, L)
                 vals = {}
                 for gi, grp in enumerate(wgroups):
+                    arr = u8[:, gi]  # [NWS, 8, L, LANE, 4]
                     for name, off_b, nb in grp:
-                        vals[name] = (gv[gi] >> off_b) & ((1 << nb) - 1)
+                        # shift/mask fuses into the transpose; each field
+                        # is written once in final [B, L] form with no
+                        # combined intermediate.
+                        v = (arr >> off_b) & ((1 << nb) - 1)
+                        vals[name] = (
+                            v.transpose(1, 0, 3, 4, 2).reshape(B, L)
+                        )
             elif post == "pallas":
                 post_out = make_post(NWS)(*logs_per_def, en_plane[:, None])
 

@@ -237,3 +237,58 @@ def test_bitplane_witness_columns_mode(model3):
     np.testing.assert_array_equal(
         (flags >> 5) & 1, np.asarray(rf.end_enable[:, 0]).astype(np.int64)
     )
+
+
+# ---------------------------------------------------------------------------
+# mid-tier (>32 live states) models: synthesis scales with DFA structure
+# ---------------------------------------------------------------------------
+
+
+def test_bitplane_midtier_118_states():
+    """One-hot synthesis stays compact on structured ~100-state DFAs
+    (live=118 -> ~506 step ops) and the kernel pipeline remains bit-exact
+    — the 'beyond 32 states' tier needs no special decomposition."""
+    words = [
+        "confidential", "wire transfer", "bitcoin", "lottery winner",
+        "prince", "inheritance", "click here now", "free gift card",
+        "your parcel is waiting", "tax refund",
+    ]
+    cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 64,
+            "parts": [
+                {"is_public": False, "regex_def": "x-spam:", "max_size": 8},
+                {
+                    "is_public": True,
+                    "regex_def": "(" + "|".join(words) + ")",
+                    "max_size": 32,
+                },
+                {"is_public": False, "regex_def": "\r\n", "max_size": 2},
+            ],
+        }
+    )
+    model = CompiledRegexModel.from_decomposed([cfg], max_chars_size=64)
+    m = BitplaneMatcher(model, interpret=True, columns="witness")
+    circ = m.circuits[0]
+    assert len(circ.live_states) > 100
+    assert circ.step_ops < 1024  # structure, not state count, sets the cost
+    strings = [
+        b"x-spam:wire transfer\r\n",
+        b"x-spam:tax refund\r\n",
+        b"x-spam:bitcoin\r\n",
+        b"x-spam:nonsense\r\n",
+        b"",
+    ]
+    chars, lengths = pack_batch(strings, 64)
+    out = m._run(chars, lengths)
+    for i, s in enumerate(strings):
+        oracle = ref_ops.match_substrs(model.regex_defs, s, 64)
+        np.testing.assert_array_equal(
+            np.asarray(out["all_substr_ids"][i]).astype(np.int64),
+            np.asarray(oracle.all_substr_ids[:64]).astype(np.int64),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["masked_characters"][i]).astype(np.int64),
+            np.asarray(oracle.masked_characters[:64]).astype(np.int64),
+        )
+        assert bool(out["match_ok"][i]) == bool(oracle.match_ok)

@@ -79,7 +79,14 @@ def _throughput(matcher, chars, lengths, iters):
             np.asarray(f(chars_j).ravel()[:1])
         return (time.perf_counter() - t0) / n
 
-    return max((t(fk) - t(f1)) / (K - 1), 1e-9)
+    # Relay noise can make the K-slope non-positive (the K=1 window ran
+    # contended, the K window didn't); retry a few times and fall back to
+    # the raw K-run average rather than reporting a nonsense slope.
+    for _ in range(3):
+        slope = (t(fk) - t(f1)) / (K - 1)
+        if slope > 1e-7:
+            return slope
+    return t(fk) / K
 
 
 def bench0(quick):

@@ -195,10 +195,13 @@ def bench3(quick):
             matcher = None
     if matcher is None:
         matcher = BatchMatcher(model)
-    B = 4 if quick else 16
+    # B=16 x 64KB = 1 MB/batch drowns in the relay's ~30 ms fetch noise
+    # (a noisy slope once read 28 GB/s here); 4 MB batches + K=4 keep the
+    # chained slope meaningful.
+    B = 4 if quick else 64
     chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
     lengths = np.full((B,), L, np.int32)
-    dt = _throughput(matcher, chars, lengths, iters=2)
+    dt = _throughput(matcher, chars, lengths, iters=4)
     _report(
         "config3_large_dfa_stress", backend=backend, n_states=S, input_len=L,
         bytes_per_sec=B * L / dt, sec_per_batch=dt,

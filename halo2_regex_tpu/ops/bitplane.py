@@ -35,7 +35,7 @@ back to the split Pallas kernel or XLA backend.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -412,6 +412,11 @@ class BitplaneMatcher:
         columns: str = "full",  # "full" (RegexResult set) | "witness"
         #   (compact ~6 B/input-byte emission: states, masked ids, masked
         #   chars, one packed flags byte — the BASELINE traffic model)
+        fuse_pack: Optional[bool] = None,  # None = off: A/B on hardware
+        #   (tools/probe_tpu43.py) favors the separate pack kernel — the
+        #   in-scan extraction serializes ~24k vops/chunk ahead of the
+        #   recurrence, costing more than the pack round trip saves.
+        #   Kept as an option (H2R_FUSE_PACK=1) for future toolchains.
     ):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -421,6 +426,12 @@ class BitplaneMatcher:
         self.compact = compact
         self.columns = columns
         n_defs = model.n_defs
+        env_fp = os.environ.get("H2R_FUSE_PACK")
+        if env_fp is not None:
+            fuse_pack = env_fp != "0"
+        if fuse_pack is None:
+            fuse_pack = False
+        self.fuse_pack = fuse_pack
         L = model.max_chars_size
         total = model.total_substrs
         idb = max(1, int(total).bit_length())
@@ -450,7 +461,14 @@ class BitplaneMatcher:
         n_l = L_pad // LC
 
         # ----- per-def Pallas scan kernel -----
-        def make_scan(circ: DefCircuits, NWS: int):
+        # ``fused_pack``: the kernel takes RAW QUAD ROWS (the bitcast view
+        # of the transposed input, no separate pack kernel) and extracts
+        # the chunk's byte-bit planes into VMEM scratch position-parallel
+        # before the sequential loop — same bit logic as the pack kernel
+        # but without its 2x32 MB HBM round trip between kernels.  The
+        # fori_loop reads planes from scratch (dynamic indexing is only
+        # legal on refs, not values, on this Mosaic).
+        def make_scan(circ: DefCircuits, NWS: int, fused_pack: bool = False):
             sb = circ.sb
             live = circ.live_states
             n_live = len(live)
@@ -459,8 +477,21 @@ class BitplaneMatcher:
                 NT -= 1
             n_b = NWS // NT
 
-            def kern(bits_ref, out_ref, st_scr):
+            def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
                 l = pl.program_id(1)
+
+                if fused_pack:
+                    bits_scr = maybe_bits_scr[0]
+                    qmask = jnp.int32(_QUAD_MASK)
+                    for j in range(8):
+                        acc = None
+                        for m in range(8):
+                            v = ((bits_ref[:, m] >> j) & qmask) << m
+                            acc = v if acc is None else acc | v
+                        bits_scr[:, j] = acc
+                    plane_ref = bits_scr
+                else:
+                    plane_ref = bits_ref
 
                 @pl.when(l == 0)
                 def _():
@@ -474,7 +505,7 @@ class BitplaneMatcher:
                 carry0 = tuple(st_scr[j] for j in range(n_live))
 
                 def body(i, carry):
-                    env = {f"byte_bit{j}": bits_ref[i, j] for j in range(8)}
+                    env = {f"byte_bit{j}": plane_ref[i, j] for j in range(8)}
                     env.update(
                         {f"st{s}": carry[j] for j, s in enumerate(live)}
                     )
@@ -487,6 +518,9 @@ class BitplaneMatcher:
                 for j in range(n_live):
                     st_scr[j] = final[j]
 
+            scratch = [pltpu.VMEM((n_live, NT, LANE), jnp.int32)]
+            if fused_pack:
+                scratch.append(pltpu.VMEM((LC, 8, NT, LANE), jnp.int32))
             return pl.pallas_call(
                 kern,
                 grid=(n_b, n_l),
@@ -508,7 +542,7 @@ class BitplaneMatcher:
                 out_shape=jax.ShapeDtypeStruct(
                     (NWS, sb, L_pad, LANE), jnp.int32
                 ),
-                scratch_shapes=[pltpu.VMEM((n_live, NT, LANE), jnp.int32)],
+                scratch_shapes=scratch,
                 interpret=interpret,
                 compiler_params=None
                 if interpret
@@ -826,9 +860,13 @@ class BitplaneMatcher:
             NWS = NW // LANE
 
             # 1. pack byte bit-planes -> kernel input stack (bitcast view
-            # in XLA, plane extraction in the pack kernel)
+            # in XLA; plane extraction in the pack kernel, or fused into
+            # the scan kernel's prologue for single-def models)
             R = raw_quads(chars, L_pad).reshape(L_pad, 8, NWS, LANE)
-            bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
+            if fuse_pack:
+                bits_stack = R  # raw quads; scan kernel extracts in VMEM
+            else:
+                bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
 
             # enable plane (pos < length), computed directly in the packed
             # NWS-major domain from lengths (no second [B, L] transpose).
@@ -851,7 +889,8 @@ class BitplaneMatcher:
 
             # 2. scan kernel per def (class circuit folded in)
             logs_per_def = [
-                make_scan(circ, NWS)(bits_stack) for circ in self.circuits
+                make_scan(circ, NWS, fused_pack=fuse_pack)(bits_stack)
+                for circ in self.circuits
             ]
 
             # 3+4. tag + id-sum + mask FSMs

@@ -55,6 +55,7 @@ _LAZY = {
     "CorpusLoader": ("halo2_regex_tpu.utils.io", "CorpusLoader"),
     "Counters": ("halo2_regex_tpu.utils.trace", "Counters"),
     "check_witness_batch": ("halo2_regex_tpu.witness.checker", "check_witness_batch"),
+    "expand_witness": ("halo2_regex_tpu.witness.expand", "expand_witness"),
     "save_witness": ("halo2_regex_tpu.witness.io", "save_witness"),
     "load_witness": ("halo2_regex_tpu.witness.io", "load_witness"),
     "zoo": ("halo2_regex_tpu.models.zoo", None),
@@ -81,6 +82,7 @@ __all__ = [
     "CorpusLoader",
     "Counters",
     "check_witness_batch",
+    "expand_witness",
     "save_witness",
     "load_witness",
     "zoo",

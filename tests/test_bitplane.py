@@ -19,6 +19,7 @@ from halo2_regex_tpu.models.compiled import CompiledRegexModel
 from halo2_regex_tpu.ops import reference as ref_ops
 from halo2_regex_tpu.ops.bitplane import BitplaneMatcher, _substr_pairs
 from halo2_regex_tpu.ops.scan_jax import pack_batch
+from halo2_regex_tpu.witness.result import RegexResult
 
 from fixtures import CONFIGS
 
@@ -292,3 +293,27 @@ def test_bitplane_midtier_118_states():
             np.asarray(oracle.masked_characters[:64]).astype(np.int64),
         )
         assert bool(out["match_ok"][i]) == bool(oracle.match_ok)
+
+
+def test_expand_witness_roundtrip(model3):
+    """expand_witness(compact emission) reproduces the full RegexResult
+    column set exactly — the compact set + raw input is sufficient
+    witness data for the checker and serialization layers."""
+    from halo2_regex_tpu.witness.checker import check_witness_batch
+    from halo2_regex_tpu.witness.expand import expand_witness
+
+    full = BitplaneMatcher(model3, interpret=True)
+    compact = BitplaneMatcher(model3, interpret=True, columns="witness")
+    chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+    rf = full(chars, lengths).to_numpy()
+    rc = expand_witness(model3, compact._run(chars, lengths), chars)
+    for name in RegexResult.field_names():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rc, name)).astype(np.int64),
+            np.asarray(getattr(rf, name)).astype(np.int64),
+            err_msg=name,
+        )
+    # and the expanded witness verifies against the constraint system
+    ok = check_witness_batch(model3.regex_defs, rc)
+    expect = np.asarray(rf.match_ok).astype(bool)
+    np.testing.assert_array_equal(np.asarray(ok), expect)

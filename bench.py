@@ -163,7 +163,7 @@ def main() -> int:
     # observation of the same deterministic work). Compiles are cached
     # after the first call, so repeats are cheap.
     secs = []
-    for _ in range(int(os.environ.get("H2R_BENCH_REPEATS", 3))):
+    for _ in range(int(os.environ.get("H2R_BENCH_REPEATS", 6))):
         s = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
         if s > 1e-7:  # guard the non-positive-slope degenerate case
             secs.append(s)

@@ -207,6 +207,58 @@ def bench3(quick):
         bytes_per_sec=B * L / dt, sec_per_batch=dt,
     )
 
+    # Structured ~1K-state stress: a 200-word dictionary alternation whose
+    # DFA has ~930 live states synthesizes under the bitplane budget
+    # (~3.3k step ops) and runs the bit-sliced path — the realistic
+    # large-model shape, vs the adversarially random table above which
+    # only the segmented split kernels can scan.
+    import jax
+
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+
+    rng = np.random.default_rng(1)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = sorted(
+        {
+            "".join(letters[i] for i in rng.integers(0, 26, int(rng.integers(5, 9))))
+            for _ in range(200)
+        }
+    )
+    cfg = DecomposedRegexConfig.from_json(
+        {
+            "max_byte_size": 1024,
+            "parts": [
+                {"is_public": False, "regex_def": "tag:", "max_size": 4},
+                {"is_public": False, "regex_def": "(" + "|".join(words) + ")",
+                 "max_size": 16},
+                {"is_public": False, "regex_def": "\r\n", "max_size": 2},
+            ],
+        }
+    )
+    smodel = CompiledRegexModel.from_decomposed([cfg], max_chars_size=1024)
+    Bs = 4096 if quick else 32768
+    schars = rng.integers(32, 127, size=(Bs, 1024)).astype(np.uint8)
+    slengths = np.full((Bs,), 1024, np.int32)
+    sm, sbackend = None, None
+    if jax.devices()[0].platform == "tpu":
+        try:
+            from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+            sm, sbackend = BitplaneMatcher(smodel, columns="witness"), "bitplane"
+        except Exception:
+            pass
+    if sm is None:
+        sm, sbackend = BatchMatcher(smodel), "xla"
+    sdt = _throughput(sm, schars, slengths, iters=3)
+    n_live = (
+        len(sm.circuits[0].live_states) if sbackend == "bitplane" else S
+    )
+    _report(
+        "config3_structured_stress", backend=sbackend, n_live_states=n_live,
+        input_len=1024, batch=Bs, bytes_per_sec=Bs * 1024 / sdt,
+        sec_per_batch=sdt,
+    )
+
 
 def bench4(quick):
     """Data-parallel scaling efficiency across the device mesh."""

@@ -412,6 +412,11 @@ class BitplaneMatcher:
         columns: str = "full",  # "full" (RegexResult set) | "witness"
         #   (compact ~6 B/input-byte emission: states, masked ids, masked
         #   chars, one packed flags byte — the BASELINE traffic model)
+        class_stage: Optional[bool] = None,  # None = on: compute byte->
+        #   class indicator planes position-parallel in the pack kernel so
+        #   the sequential step circuit takes cls planes (smaller serial
+        #   chain); H2R_CLASS_STAGE=0 reverts to byte-plane input with the
+        #   class BDD folded into the step circuit.
         fuse_pack: Optional[bool] = None,  # None = off: A/B on hardware
         #   (tools/probe_tpu43.py) favors the separate pack kernel — the
         #   in-scan extraction serializes ~24k vops/chunk ahead of the
@@ -432,6 +437,14 @@ class BitplaneMatcher:
         if fuse_pack is None:
             fuse_pack = False
         self.fuse_pack = fuse_pack
+        env_cs = os.environ.get("H2R_CLASS_STAGE")
+        if env_cs is not None:
+            class_stage = env_cs != "0"
+        if class_stage is None:
+            class_stage = True
+        if fuse_pack:
+            class_stage = False  # mutually exclusive pack strategies
+        self.class_stage = class_stage
         L = model.max_chars_size
         total = model.total_substrs
         idb = max(1, int(total).bit_length())
@@ -445,13 +458,26 @@ class BitplaneMatcher:
                 int(model.dead_states[d]),
                 _substr_pairs(model, d),
                 idb=idb,
-                fold_class=True,
+                # With the class stage, byte->class indicators are computed
+                # position-parallel in the pack kernel and the SERIAL step
+                # circuit takes cls planes — for the email model that moves
+                # 143 of 353 ops (the class BDD) off the sequential
+                # critical path.
+                fold_class=not class_stage,
             )
             if c.step_ops > max_step_ops:
                 raise ValueError(
                     f"def {d}: step circuit {c.step_ops} ops > {max_step_ops}"
                 )
             self.circuits.append(c)
+        # class-plane layout: per-def contiguous slices in the pack output
+        self._cls_off: List[int] = []
+        off_c = 0
+        for c in self.circuits:
+            self._cls_off.append(off_c)
+            off_c += c.k
+        KP = off_c if class_stage else 8
+        self._kp = KP
 
         LC = min(lc, L)
         L_pad = _round_up(L, LC)
@@ -468,7 +494,12 @@ class BitplaneMatcher:
         # but without its 2x32 MB HBM round trip between kernels.  The
         # fori_loop reads planes from scratch (dynamic indexing is only
         # legal on refs, not values, on this Mosaic).
-        def make_scan(circ: DefCircuits, NWS: int, fused_pack: bool = False):
+        def make_scan(
+            circ: DefCircuits,
+            NWS: int,
+            fused_pack: bool = False,
+            cls_off: int = 0,
+        ):
             sb = circ.sb
             live = circ.live_states
             n_live = len(live)
@@ -476,6 +507,7 @@ class BitplaneMatcher:
             while NWS % NT != 0:
                 NT -= 1
             n_b = NWS // NT
+            KIN = self._kp if (class_stage and not circ.fold_class) else 8
 
             def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
                 l = pl.program_id(1)
@@ -505,7 +537,15 @@ class BitplaneMatcher:
                 carry0 = tuple(st_scr[j] for j in range(n_live))
 
                 def body(i, carry):
-                    env = {f"byte_bit{j}": plane_ref[i, j] for j in range(8)}
+                    if circ.fold_class:
+                        env = {
+                            f"byte_bit{j}": plane_ref[i, j] for j in range(8)
+                        }
+                    else:
+                        env = {
+                            f"cls{c}": plane_ref[i, cls_off + c]
+                            for c in range(circ.k)
+                        }
                     env.update(
                         {f"st{s}": carry[j] for j, s in enumerate(live)}
                     )
@@ -526,7 +566,7 @@ class BitplaneMatcher:
                 grid=(n_b, n_l),
                 in_specs=[
                     pl.BlockSpec(
-                        (LC, 8, NT, LANE),
+                        (LC, KIN, NT, LANE),
                         lambda b, l: (l, 0, b, 0),
                         memory_space=pltpu.VMEM,
                     ),
@@ -567,15 +607,28 @@ class BitplaneMatcher:
             NT = min(nws_tile, NWS)
             while NWS % NT != 0:
                 NT -= 1
+            KOUT = self._kp if class_stage else 8
 
             def kern(r_ref, out_ref):
                 mask = jnp.int32(_QUAD_MASK)
+                planes = []
                 for j in range(8):
                     acc = None
                     for m in range(8):
                         v = ((r_ref[:, m] >> j) & mask) << m
                         acc = v if acc is None else acc | v
-                    out_ref[:, j] = acc
+                    planes.append(acc)
+                if class_stage:
+                    # run each def's byte->class circuit position-parallel
+                    # (moves the class BDD off the scan's serial chain)
+                    env = {f"byte_bit{j}": planes[j] for j in range(8)}
+                    for d, circ in enumerate(self.circuits):
+                        out = circ.class_prog.run(env)
+                        for c in range(circ.k):
+                            out_ref[:, self._cls_off[d] + c] = out[f"cls{c}"]
+                else:
+                    for j in range(8):
+                        out_ref[:, j] = planes[j]
 
             return pl.pallas_call(
                 kern,
@@ -588,12 +641,12 @@ class BitplaneMatcher:
                     ),
                 ],
                 out_specs=pl.BlockSpec(
-                    (PLC, 8, NT, LANE),
+                    (PLC, KOUT, NT, LANE),
                     lambda b, l: (l, 0, b, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (L_pad, 8, NWS, LANE), jnp.int32
+                    (L_pad, KOUT, NWS, LANE), jnp.int32
                 ),
                 interpret=interpret,
                 compiler_params=None
@@ -889,8 +942,13 @@ class BitplaneMatcher:
 
             # 2. scan kernel per def (class circuit folded in)
             logs_per_def = [
-                make_scan(circ, NWS, fused_pack=fuse_pack)(bits_stack)
-                for circ in self.circuits
+                make_scan(
+                    circ,
+                    NWS,
+                    fused_pack=fuse_pack,
+                    cls_off=self._cls_off[d],
+                )(bits_stack)
+                for d, circ in enumerate(self.circuits)
             ]
 
             # 3+4. tag + id-sum + mask FSMs
@@ -1113,8 +1171,13 @@ class BitplaneMatcher:
 
     def scan_planes(self, bits_stack: jnp.ndarray, d: int = 0) -> jnp.ndarray:
         """Run just the sequential scan kernel for def ``d`` on a prepared
-        byte-bit-plane stack [L_pad, 8, NWS, 128] (profiling hook)."""
-        return self._make_scan(self.circuits[d], bits_stack.shape[2])(bits_stack)
+        plane stack [L_pad, KP, NWS, 128] (profiling hook).  KP is 8
+        byte-bit planes when ``class_stage`` is off, or the concatenated
+        per-def class-indicator planes when on (feed ``pack_planes``
+        output either way)."""
+        return self._make_scan(
+            self.circuits[d], bits_stack.shape[2], cls_off=self._cls_off[d]
+        )(bits_stack)
 
     def match_one(self, characters: bytes) -> RegexResult:
         L = self.model.max_chars_size

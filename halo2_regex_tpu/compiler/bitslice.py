@@ -273,10 +273,17 @@ def linearize(builder: Builder, outputs: Dict[str, int]) -> Program:
 # ---------------------------------------------------------------------------
 
 
-def byte_set_expr(b: Builder, byte_values: Sequence[int], prefix: str = "byte_bit") -> int:
-    """Expression over vars ``{prefix}{7..0}`` true iff the byte is in the
-    set.  Hash-consed Shannon decomposition, MSB first — ASCII ranges
-    collapse to short range-comparator DAGs shared across classes."""
+def byte_set_expr(
+    b: Builder,
+    byte_values: Sequence[int],
+    prefix: str = "byte_bit",
+    n_bits: int = 8,
+) -> int:
+    """Expression over vars ``{prefix}{n_bits-1..0}`` true iff the value is
+    in the set.  Hash-consed Shannon decomposition, MSB first — ASCII
+    ranges collapse to short range-comparator DAGs shared across classes.
+    (Also used over binary-encoded class-code planes with ``n_bits`` <
+    8; Builder-level hash-consing shares sub-products across calls.)"""
     memo: Dict[Tuple[int, Tuple[int, ...]], int] = {}
 
     def rec(level: int, values: Tuple[int, ...]) -> int:
@@ -298,7 +305,7 @@ def byte_set_expr(b: Builder, byte_values: Sequence[int], prefix: str = "byte_bi
         memo[key] = e
         return e
 
-    return rec(8, tuple(sorted(set(int(v) for v in byte_values))))
+    return rec(n_bits, tuple(sorted(set(int(v) for v in byte_values))))
 
 
 def value_eq_expr(b: Builder, value: int, n_bits: int, prefix: str) -> int:
@@ -332,6 +339,21 @@ class DefCircuits:
     step_ops: int = 0
     tag_ops: int = 0
     fold_class: bool = True  # step_prog inputs are byte_bit{j} (True) or cls{c}
+    class_encoding: str = "onehot"  # class-plane layout when fold_class is
+    #   False: "onehot" (k planes cls{c}) or "binary" (ceil(log2 k) planes
+    #   clsb{j} carrying the class code; the step circuit decodes them via
+    #   shared Shannon sub-products)
+
+    @property
+    def class_plane_names(self) -> List[str]:
+        """Ordered plane names the pack stage emits / the scan env binds
+        (empty when the class BDD is folded into the step circuit)."""
+        if self.fold_class:
+            return []
+        if self.class_encoding == "binary":
+            cbb = max(1, (self.k - 1).bit_length())
+            return [f"clsb{j}" for j in range(cbb)]
+        return [f"cls{c}" for c in range(self.k)]
 
 
 def _union_expr(
@@ -364,6 +386,7 @@ def synthesize_def(
     substr_pairs: Optional[List[Tuple[int, int, int, bool, bool]]] = None,
     idb: int = 0,
     fold_class: bool = True,
+    class_encoding: str = "onehot",
 ) -> DefCircuits:
     """Build all circuits for one def.
 
@@ -375,8 +398,12 @@ def synthesize_def(
     planes (class BDD inlined, sub-expressions shared with the transition
     terms) — the scan kernel then reads byte planes straight from the pack
     stage with no separate class pass.  When False the step circuit takes
-    ``cls{c}`` indicator planes as inputs (the separate ``class_prog``
-    computes them).
+    class planes as inputs (the separate ``class_prog`` computes them).
+
+    ``class_encoding`` (fold_class=False only): "onehot" emits k
+    indicator planes ``cls{c}``; "binary" emits ceil(log2 k) code planes
+    ``clsb{j}`` — fewer pack->scan planes than even the 8 byte-bit planes,
+    with a ~2^cbb-node shared decode added to the step circuit.
     """
     # Reachable state support (scan starts at first; dead always included
     # as the sink for invalid transitions).
@@ -401,11 +428,19 @@ def synthesize_def(
     sb = max(1, int(max_state).bit_length())
 
     # ---- class circuit ----
+    cbb = max(1, (k - 1).bit_length())
     cb = Builder()
     class_outputs = {}
-    for c in range(k):
-        byte_vals = np.nonzero(class_of == c)[0]
-        class_outputs[f"cls{c}"] = byte_set_expr(cb, byte_vals)
+    if not fold_class and class_encoding == "binary":
+        # one plane per code bit: union of the byte sets of all classes
+        # whose code has that bit set (a single shared byte-BDD walk)
+        for j in range(cbb):
+            byte_vals = np.nonzero((class_of >> j) & 1)[0]
+            class_outputs[f"clsb{j}"] = byte_set_expr(cb, byte_vals)
+    else:
+        for c in range(k):
+            byte_vals = np.nonzero(class_of == c)[0]
+            class_outputs[f"cls{c}"] = byte_set_expr(cb, byte_vals)
     class_prog = linearize(cb, class_outputs)
 
     # ---- step circuit ----
@@ -420,6 +455,10 @@ def synthesize_def(
     for c in range(k):
         if fold_class:
             cls_v = byte_set_expr(sbld, np.nonzero(class_of == c)[0])
+        elif class_encoding == "binary":
+            # singleton Shannon decode over the code planes; Builder
+            # hash-consing shares the sub-products across all k decodes
+            cls_v = byte_set_expr(sbld, [c], prefix="clsb", n_bits=cbb)
         else:
             cls_v = sbld.var(f"cls{c}")
         # representative byte for this class
@@ -498,6 +537,7 @@ def synthesize_def(
         step_ops=step_prog.n_ops,
         tag_ops=tag_ops,
         fold_class=fold_class,
+        class_encoding=class_encoding,
     )
 
 
@@ -516,10 +556,17 @@ def verify_def_circuits(c: DefCircuits, transition: np.ndarray) -> None:
     bytes_all = np.arange(256)
     env = {f"byte_bit{j}": ((bytes_all >> j) & 1).astype(bool) for j in range(8)}
     out = c.class_prog.run(env)
-    for cc in range(c.k):
-        expect = c.class_of == cc
-        got = out[f"cls{cc}"]
-        assert (got == expect).all(), f"class circuit mismatch cls{cc}"
+    if not c.fold_class and c.class_encoding == "binary":
+        cbb = max(1, (c.k - 1).bit_length())
+        for j in range(cbb):
+            expect = ((c.class_of >> j) & 1).astype(bool)
+            got = out[f"clsb{j}"]
+            assert (got == expect).all(), f"class circuit mismatch clsb{j}"
+    else:
+        for cc in range(c.k):
+            expect = c.class_of == cc
+            got = out[f"cls{cc}"]
+            assert (got == expect).all(), f"class circuit mismatch cls{cc}"
 
     # step circuit over all (byte-or-class, state) pairs
     if c.fold_class:
@@ -532,7 +579,14 @@ def verify_def_circuits(c: DefCircuits, transition: np.ndarray) -> None:
     else:
         cls_idx = np.repeat(np.arange(c.k), len(c.live_states))
         st_idx = np.tile(np.array(c.live_states), c.k)
-        env = {f"cls{cc}": cls_idx == cc for cc in range(c.k)}
+        if c.class_encoding == "binary":
+            cbb = max(1, (c.k - 1).bit_length())
+            env = {
+                f"clsb{j}": ((cls_idx >> j) & 1).astype(bool)
+                for j in range(cbb)
+            }
+        else:
+            env = {f"cls{cc}": cls_idx == cc for cc in range(c.k)}
         reps = [int(np.nonzero(c.class_of == cc)[0][0]) for cc in range(c.k)]
         expect_next = transition[np.array(reps)[cls_idx], st_idx]
     env.update({f"st{s}": st_idx == s for s in c.live_states})

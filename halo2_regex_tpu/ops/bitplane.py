@@ -412,11 +412,14 @@ class BitplaneMatcher:
         columns: str = "full",  # "full" (RegexResult set) | "witness"
         #   (compact ~6 B/input-byte emission: states, masked ids, masked
         #   chars, one packed flags byte — the BASELINE traffic model)
-        class_stage: Optional[bool] = None,  # None = on: compute byte->
-        #   class indicator planes position-parallel in the pack kernel so
-        #   the sequential step circuit takes cls planes (smaller serial
-        #   chain); H2R_CLASS_STAGE=0 reverts to byte-plane input with the
-        #   class BDD folded into the step circuit.
+        class_stage=None,  # None = "binary": compute byte->class planes
+        #   position-parallel in the pack kernel so the sequential step
+        #   circuit takes class planes (smaller serial chain).  "binary"
+        #   emits ceil(log2 k) code planes (fewer than the 8 byte planes:
+        #   less pack->scan HBM traffic); "onehot"/True emits k indicator
+        #   planes; False/H2R_CLASS_STAGE=0 reverts to byte-plane input
+        #   with the class BDD folded into the step circuit.
+        #   H2R_CLASS_STAGE accepts 0/1/onehot/binary.
         fuse_pack: Optional[bool] = None,  # None = off: A/B on hardware
         #   (tools/probe_tpu43.py) favors the separate pack kernel — the
         #   in-scan extraction serializes ~24k vops/chunk ahead of the
@@ -439,9 +442,17 @@ class BitplaneMatcher:
         self.fuse_pack = fuse_pack
         env_cs = os.environ.get("H2R_CLASS_STAGE")
         if env_cs is not None:
-            class_stage = env_cs != "0"
+            class_stage = {
+                "0": False,
+                "false": False,
+                "1": "onehot",
+                "onehot": "onehot",
+                "binary": "binary",
+            }[env_cs.lower()]
         if class_stage is None:
-            class_stage = True
+            class_stage = "binary"
+        if class_stage is True:
+            class_stage = "onehot"
         if fuse_pack:
             class_stage = False  # mutually exclusive pack strategies
         self.class_stage = class_stage
@@ -458,12 +469,13 @@ class BitplaneMatcher:
                 int(model.dead_states[d]),
                 _substr_pairs(model, d),
                 idb=idb,
-                # With the class stage, byte->class indicators are computed
+                # With the class stage, byte->class planes are computed
                 # position-parallel in the pack kernel and the SERIAL step
-                # circuit takes cls planes — for the email model that moves
-                # 143 of 353 ops (the class BDD) off the sequential
+                # circuit takes class planes — for the email model that
+                # moves most of the 143-op class BDD off the sequential
                 # critical path.
                 fold_class=not class_stage,
+                class_encoding=class_stage if class_stage else "onehot",
             )
             if c.step_ops > max_step_ops:
                 raise ValueError(
@@ -475,7 +487,7 @@ class BitplaneMatcher:
         off_c = 0
         for c in self.circuits:
             self._cls_off.append(off_c)
-            off_c += c.k
+            off_c += len(c.class_plane_names)
         KP = off_c if class_stage else 8
         self._kp = KP
 
@@ -543,8 +555,8 @@ class BitplaneMatcher:
                         }
                     else:
                         env = {
-                            f"cls{c}": plane_ref[i, cls_off + c]
-                            for c in range(circ.k)
+                            name: plane_ref[i, cls_off + c]
+                            for c, name in enumerate(circ.class_plane_names)
                         }
                     env.update(
                         {f"st{s}": carry[j] for j, s in enumerate(live)}
@@ -624,8 +636,8 @@ class BitplaneMatcher:
                     env = {f"byte_bit{j}": planes[j] for j in range(8)}
                     for d, circ in enumerate(self.circuits):
                         out = circ.class_prog.run(env)
-                        for c in range(circ.k):
-                            out_ref[:, self._cls_off[d] + c] = out[f"cls{c}"]
+                        for c, name in enumerate(circ.class_plane_names):
+                            out_ref[:, self._cls_off[d] + c] = out[name]
                 else:
                     for j in range(8):
                         out_ref[:, j] = planes[j]

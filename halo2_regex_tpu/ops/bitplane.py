@@ -714,41 +714,62 @@ class BitplaneMatcher:
         P_total = off
         self._post_off = post_off
 
-        # Byte-packed witness emission: the post kernel assembles final
-        # VALUE BYTES in-register (SWAR 8x8 bit transpose per <=8-bit field
-        # group) so XLA is left with one bitcast + transpose instead of a
-        # 32-way bit expansion over every plane (the round-2 profile's
-        # dominant stage, tools/probe_tpu40.py).
-        self._bytes_mode = False
+        # Byte-packed witness emission.  Three modes (H2R_EMIT):
+        #   "planes": post writes bit planes; XLA does a 32-way unpack
+        #     (the round-2 profile's dominant stage, tools/probe_tpu40.py).
+        #   "bytes": post assembles value bytes in-register (SWAR 8x8 bit
+        #     transpose per <=8-bit field group); XLA pays one fused
+        #     bitcast+transpose pass per field column.
+        #   "direct" (experimental, default OFF): post additionally
+        #     transposes the byte-lane words to final [B, L]-major order
+        #     IN VMEM (sublane l4-pack + (L/4, LANE) tile transpose +
+        #     s-interleave, tools/probe_tpu48.py) and writes one l4-packed
+        #     int32 array per field whose [B, L] uint8 view is a zero-copy
+        #     bitcast+reshape — no XLA decode pass.  Measured SLOWER
+        #     in-pipeline (~3.1 ms vs ~1.1 ms at B=32k, probe_tpu49: the
+        #     per-m tile transposes + s-interleave serialize the post
+        #     kernel more than the saved decode pass costs); kept for
+        #     future toolchains.
+        self._emit = "planes"
         self._wgroups: List[List[Tuple[str, int, int]]] = []
-        if (
-            columns == "witness"
-            and post == "pallas"
-            and os.environ.get("H2R_WITNESS_BYTES", "1") != "0"
-        ):
+        self._dfields: List[Tuple[str, int]] = []
+        if columns == "witness" and post == "pallas":
+            emit = os.environ.get("H2R_EMIT")
+            if emit is None:
+                wb = os.environ.get("H2R_WITNESS_BYTES")
+                emit = {"0": "planes", "1": "bytes"}.get(wb, "bytes")
             fields: List[Tuple[str, int]] = [
                 ("flags", 6),
                 ("masked_idsum", nsum),
             ]
             for d in range(n_defs):
                 fields.append((f"states{d}", self.circuits[d].sb))
-            if all(nb <= 8 for _, nb in fields):
-                self._bytes_mode = True
-                groups: List[List[Tuple[str, int, int]]] = []
-                cur: List[Tuple[str, int, int]] = []
-                bits = 0
-                for name, nb in fields:
-                    if bits + nb > 8:
+            if emit != "planes" and all(nb <= 8 for _, nb in fields):
+                if emit == "direct" and L_pad % 4 == 0:
+                    self._emit = "direct"
+                    self._dfields = fields
+                else:
+                    self._emit = "bytes"
+                    groups: List[List[Tuple[str, int, int]]] = []
+                    cur: List[Tuple[str, int, int]] = []
+                    bits = 0
+                    for name, nb in fields:
+                        if bits + nb > 8:
+                            groups.append(cur)
+                            cur, bits = [], 0
+                        cur.append((name, bits, nb))
+                        bits += nb
+                    if cur:
                         groups.append(cur)
-                        cur, bits = [], 0
-                    cur.append((name, bits, nb))
-                    bits += nb
-                if cur:
-                    groups.append(cur)
-                self._wgroups = groups
-                P_total = len(groups) * 8
+                    self._wgroups = groups
+                    P_total = len(groups) * 8
+        self._bytes_mode = self._emit == "bytes"
         bytes_mode = self._bytes_mode
+        direct_mode = self._emit == "direct"
         wgroups = self._wgroups
+        dfields = self._dfields
+
+        L4 = L_pad // 4 if L_pad % 4 == 0 else 0
 
         def make_post(NWS: int):
             # All arrays lead with the word-group (NWS) axis so blocks end
@@ -759,12 +780,13 @@ class BitplaneMatcher:
             def kern(*refs):
                 log_refs = refs[:n_defs]
                 en_ref = refs[n_defs]
-                out_ref = refs[n_defs + 1]
+                out_ref = refs[n_defs + 1] if not direct_mode else None
+                out_refs = refs[n_defs + 1 :]
                 en = en_ref[0, 0]  # [L_pad, LANE]
                 zrow = jnp.zeros((1, LANE), jnp.int32)
 
                 def put(name, planes):
-                    if name not in post_off:
+                    if direct_mode or name not in post_off:
                         return
                     o, nb = post_off[name]
                     for j in range(nb):
@@ -838,7 +860,7 @@ class BitplaneMatcher:
                 reset_b = ~endf_any & next_start & changed_b
                 bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
                 mask = fwd & bwd
-                if bytes_mode:
+                if bytes_mode or direct_mode:
                     avail: Dict[str, List[jnp.ndarray]] = {
                         "flags": [mask, fwd, bwd, en, start_any, endf_any],
                         "masked_idsum": [p & mask for p in ids_sum],
@@ -847,6 +869,29 @@ class BitplaneMatcher:
                         avail[f"states{d}"] = [
                             log_refs[d][0, j] for j in range(sbs[d])
                         ]
+                if direct_mode:
+                    # one l4-packed [B, L]-major int32 array per field:
+                    # byte-lane words -> per-m (LANE*4, L4) blocks whose
+                    # flat order is the final string order (m, nws, lane,
+                    # s) with positions packed 4-per-int32 (probe_tpu48)
+                    for fi, (name, _nb) in enumerate(dfields):
+                        planes = list(avail[name])
+                        planes += [jnp.zeros_like(en)] * (8 - len(planes))
+                        words = transpose8_planes(planes)
+                        for m in range(8):
+                            rows = words[m].reshape(L4, 4, LANE)
+                            qs_t = []
+                            for s in range(4):
+                                acc = None
+                                for j in range(4):
+                                    v = (rows[:, j] >> (8 * s)) & 0xFF
+                                    v = v << (8 * j)
+                                    acc = v if acc is None else acc | v
+                                qs_t.append(jnp.swapaxes(acc, 0, 1))
+                            out_refs[fi][m, 0] = jnp.stack(
+                                qs_t, axis=1
+                            ).reshape(LANE * 4, L4)
+                elif bytes_mode:
                     for gi, grp in enumerate(wgroups):
                         planes: List[jnp.ndarray] = []
                         for name, _off_b, _nb in grp:
@@ -875,18 +920,34 @@ class BitplaneMatcher:
                     memory_space=pltpu.VMEM,
                 ),
             ]
+            if direct_mode:
+                out_specs = [
+                    pl.BlockSpec(
+                        (8, 1, LANE * 4, L4),
+                        lambda b: (0, b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for _ in dfields
+                ]
+                out_shape = [
+                    jax.ShapeDtypeStruct((8, NWS, LANE * 4, L4), jnp.int32)
+                    for _ in dfields
+                ]
+            else:
+                out_specs = pl.BlockSpec(
+                    (1, P_total, L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                out_shape = jax.ShapeDtypeStruct(
+                    (NWS, P_total, L_pad, LANE), jnp.int32
+                )
             return pl.pallas_call(
                 kern,
                 grid=(NWS,),
                 in_specs=in_specs,
-                out_specs=pl.BlockSpec(
-                    (1, P_total, L_pad, LANE),
-                    lambda b: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (NWS, P_total, L_pad, LANE), jnp.int32
-                ),
+                out_specs=out_specs,
+                out_shape=out_shape,
                 interpret=interpret,
                 compiler_params=None
                 if interpret
@@ -964,7 +1025,17 @@ class BitplaneMatcher:
             ]
 
             # 3+4. tag + id-sum + mask FSMs
-            if bytes_mode:
+            if direct_mode:
+                # Post kernel wrote l4-packed [B, L]-major int32 per field
+                # — the [B, L] uint8 column is a zero-copy bitcast+reshape
+                # (flat order (m, nws, lane, s, l4, byte) IS string-major).
+                outs = make_post(NWS)(*logs_per_def, en_plane[:, None])
+                vals = {}
+                for (name, _nb), arr in zip(dfields, outs):
+                    u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8)
+                    col = u8.reshape(B, L_pad)
+                    vals[name] = col[:, :L] if L_pad != L else col
+            elif bytes_mode:
                 # Post kernel already assembled the final value bytes —
                 # XLA only bitcasts int32 words to their four byte lanes
                 # and transposes to string-major [B, L] order (bit beta =
@@ -1002,7 +1073,7 @@ class BitplaneMatcher:
                 def planes_of(name, pp=post_planes):
                     return pp[name]
 
-            if columns == "witness" and not bytes_mode:
+            if columns == "witness" and not (bytes_mode or direct_mode):
                 # Compact witness emission — the BASELINE ScanTraffic model
                 # (~6 B per input byte): per-def uint8 state rows, masked
                 # ids, masked chars, and ONE packed flags byte

@@ -168,11 +168,13 @@ def _cmd_scan(args) -> int:
         job = ScanJob(
             matcher, args.corpus, checkpoint_path=args.checkpoint,
             batch_size=args.batch, on_batch=_print_matches,
+            keep_newline=args.keep_newline,
         )
         print(job.run().to_json())
         return 0
     loader = CorpusLoader(
-        args.corpus, max_len=model.max_chars_size, batch_size=args.batch
+        args.corpus, max_len=model.max_chars_size, batch_size=args.batch,
+        keep_newline=args.keep_newline,
     )
     counters = Counters().start()
     for chars, lengths, n_valid in loader:
@@ -291,6 +293,10 @@ def main(argv=None) -> int:
     p.add_argument("corpus", nargs="+", help="newline-delimited corpus file(s)")
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bitplane", "pallas", "xla"])
+    p.add_argument("--keep-newline", action="store_true",
+                   help="restore each line's \\n terminator (required for "
+                        "models whose accept state needs \\r\\n, e.g. the "
+                        "email headers)")
     p.set_defaults(fn=_cmd_scan)
 
     p = sub.add_parser("bench", help="throughput measurement")

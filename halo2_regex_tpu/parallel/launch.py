@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     ap.add_argument("--coordinator")
     ap.add_argument("--num-processes", type=int)
     ap.add_argument("--process-id", type=int)
+    ap.add_argument(
+        "--keep-newline",
+        action="store_true",
+        help="restore each line's \\n terminator (required for models "
+        "whose accept state needs \\r\\n, e.g. the email headers)",
+    )
     args = ap.parse_args(argv)
 
     from .mesh import initialize_distributed
@@ -58,13 +64,20 @@ def main(argv=None) -> int:
     }
     n_defs = model.n_defs
 
+    import jax.numpy as jnp
+    import numpy as np
+
     @jax.jit
-    def step(chars, lengths):
+    def step(chars, lengths, valid):
         out = _match_core(arrays, n_defs, chars, lengths)
+        # ``valid`` excludes batch-padding rows (and is the step-count
+        # synchronization signal: its global sum is 0 exactly when every
+        # process has exhausted its corpus shard).
         return dict(
-            n_matched=out["match_ok"].sum(),
-            bytes_scanned=lengths.sum(),
-            n_dead=out["has_dead"].any(axis=1).sum(),
+            n_matched=(out["match_ok"] & valid).sum(),
+            bytes_scanned=jnp.where(valid, lengths, 0).sum(),
+            n_dead=(out["has_dead"].any(axis=1) & valid).sum(),
+            n_valid=valid.sum(),
         )
 
     paths = sorted(p for pat in args.corpus for p in glob.glob(pat))
@@ -74,22 +87,41 @@ def main(argv=None) -> int:
         batch_size=args.batch_per_host,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        keep_newline=args.keep_newline,
     )
 
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     totals = {"n_matched": 0, "bytes_scanned": 0, "n_dead": 0, "strings": 0}
     t0 = time.time()
-    for chars, lengths, n_valid in loader:
+    # Every process must execute the SAME number of global steps even
+    # when shards are unevenly sized (different per-process batch
+    # counts would deadlock the collectives): exhausted processes keep
+    # contributing empty batches until the global valid-count hits 0.
+    Bh = args.batch_per_host
+    Lm = model.max_chars_size
+    it = iter(loader)
+    row = np.arange(Bh)
+    while True:
+        nxt = next(it, None)
+        if nxt is None:
+            chars = np.zeros((Bh, Lm), np.uint8)
+            lengths = np.zeros((Bh,), np.int32)
+            n_valid = 0
+        else:
+            chars, lengths, n_valid = nxt
+        valid = row < n_valid
         # each host contributes its local slice of the global batch
         gchars = jax.make_array_from_process_local_data(sharding, chars)
-        glens = jax.make_array_from_process_local_data(
-            NamedSharding(mesh, P(DATA_AXIS)), lengths
-        )
-        stats = step(gchars, glens)
+        glens = jax.make_array_from_process_local_data(sharding, lengths)
+        gvalid = jax.make_array_from_process_local_data(sharding, valid)
+        stats = step(gchars, glens, gvalid)
+        gv = int(stats["n_valid"])
+        if gv == 0:
+            break  # all processes exhausted (real batches have >=1 valid)
         totals["n_matched"] += int(stats["n_matched"])
         totals["bytes_scanned"] += int(stats["bytes_scanned"])
         totals["n_dead"] += int(stats["n_dead"])
-        totals["strings"] += n_valid * jax.process_count()
+        totals["strings"] += gv
     if jax.process_index() == 0:
         dt = time.time() - t0
         totals["wall_seconds"] = round(dt, 3)

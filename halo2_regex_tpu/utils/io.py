@@ -17,23 +17,35 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def pack_lines(data: bytes, max_len: int) -> Tuple[np.ndarray, np.ndarray, int]:
+def pack_lines(
+    data: bytes, max_len: int, keep_newline: bool = False
+) -> Tuple[np.ndarray, np.ndarray, int]:
     """Split a newline-delimited buffer into (chars, lengths, n_truncated);
-    native packer when available."""
-    try:
-        from .. import native
+    native packer when available.
 
-        if native.available():
-            return native.pack_lines(data, max_len)
-    except Exception:
-        pass
+    ``keep_newline`` restores each line's terminating ``\\n`` byte (the
+    on-disk bytes, e.g. the ``\\r\\n`` the email-header DFAs require to
+    reach their accept state — without it a corpus scan of those models
+    matches nothing).  The native fast path currently covers only the
+    stripped default."""
+    if not keep_newline:
+        try:
+            from .. import native
+
+            if native.available():
+                return native.pack_lines(data, max_len)
+        except Exception:
+            pass
     lines = data.split(b"\n")
-    if lines and lines[-1] == b"":
+    last_had_nl = bool(lines) and lines[-1] == b""
+    if last_had_nl:
         lines.pop()
     chars = np.zeros((len(lines), max_len), np.uint8)
     lengths = np.zeros((len(lines),), np.int32)
     truncated = 0
     for i, ln in enumerate(lines):
+        if keep_newline and (i < len(lines) - 1 or last_had_nl):
+            ln = ln + b"\n"
         if len(ln) > max_len:
             truncated += 1
             ln = ln[:max_len]
@@ -80,12 +92,14 @@ class CorpusLoader:
         read_chunk_bytes: int = 64 << 20,
         process_index: int = 0,
         process_count: int = 1,
+        keep_newline: bool = False,
     ):
         self.paths = [p for i, p in enumerate(sorted(paths))
                       if i % process_count == process_index]
         self.max_len = max_len
         self.batch_size = batch_size
         self.read_chunk_bytes = read_chunk_bytes
+        self.keep_newline = keep_newline
         self.n_truncated = 0
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray, int]]:
@@ -106,7 +120,9 @@ class CorpusLoader:
                         tail = data
                         continue
                     tail = data[cut + 1 :]
-                    chars, lengths, trunc = pack_lines(data[: cut + 1], self.max_len)
+                    chars, lengths, trunc = pack_lines(
+                        data[: cut + 1], self.max_len, self.keep_newline
+                    )
                     self.n_truncated += trunc
                     carry_chars.append(chars)
                     carry_lens.append(lengths)
@@ -119,7 +135,9 @@ class CorpusLoader:
                         carry_lens = [alll[self.batch_size :]]
                         carried = carry_chars[0].shape[0]
                 if tail:
-                    chars, lengths, trunc = pack_lines(tail, self.max_len)
+                    chars, lengths, trunc = pack_lines(
+                        tail, self.max_len, self.keep_newline
+                    )
                     self.n_truncated += trunc
                     carry_chars.append(chars)
                     carry_lens.append(lengths)

@@ -63,6 +63,7 @@ class ScanJob:
         max_len: Optional[int] = None,
         chunk_bytes: int = 64 << 20,
         on_batch: Optional[Callable] = None,
+        keep_newline: bool = False,
     ):
         self.matcher = matcher
         self.paths: List[str] = sorted(paths)
@@ -71,6 +72,7 @@ class ScanJob:
         self.max_len = max_len or matcher.model.max_chars_size
         self.chunk_bytes = chunk_bytes
         self.on_batch = on_batch
+        self.keep_newline = keep_newline
 
     def run(self) -> Counters:
         state = JobState()
@@ -96,7 +98,9 @@ class ScanJob:
                         else:
                             data = data[: cut + 1]
                             consumed = cut + 1
-                    chars, lengths, trunc = pack_lines(data, self.max_len)
+                    chars, lengths, trunc = pack_lines(
+                        data, self.max_len, self.keep_newline
+                    )
                     state.n_truncated += trunc
                     for bchars, blens, n_valid in batch_iterator(
                         chars, lengths, self.batch_size

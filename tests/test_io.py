@@ -133,3 +133,30 @@ def test_scan_job_checkpoint_resume(tmp_path):
     # every line matched in the reference is matched here (ratios equal on
     # the doubled work)
     assert out.matched * ref.strings == ref.matched * out.strings
+
+
+def test_pack_lines_keep_newline():
+    # restores on-disk bytes: inner lines get their \n back, a final
+    # unterminated line stays as-is (the email DFAs need the \r\n to
+    # reach their accept state)
+    c, l, t = pack_lines(b"ab\ncd\n", 8, keep_newline=True)
+    assert l.tolist() == [3, 3]
+    assert bytes(c[0][:3]) == b"ab\n" and bytes(c[1][:3]) == b"cd\n"
+    c, l, t = pack_lines(b"ab\ncd", 8, keep_newline=True)
+    assert l.tolist() == [3, 2] and bytes(c[1][:2]) == b"cd"
+    c, l, t = pack_lines(b"abcdefgh\nx\n", 4, keep_newline=True)
+    assert t == 1 and l.tolist() == [4, 2]
+
+
+def test_corpus_loader_keep_newline_chunked(tmp_path):
+    p = tmp_path / "x.txt"
+    p.write_bytes(b"aaaa\nbb\ncccccc\ndd")
+    rows = []
+    loader = CorpusLoader(
+        [str(p)], max_len=16, batch_size=2, read_chunk_bytes=7,
+        keep_newline=True,
+    )
+    for ch, ln, nv in loader:
+        for i in range(nv):
+            rows.append(bytes(ch[i][: ln[i]]))
+    assert rows == [b"aaaa\n", b"bb\n", b"cccccc\n", b"dd"]

@@ -607,6 +607,129 @@ class BitplaneMatcher:
 
         self._make_scan = make_scan
 
+        # ----- fused multi-def scan kernel -----
+        # All defs' step circuits run in ONE kernel: the plane stack is
+        # read once (a per-def kernel re-reads it n_defs times) and the
+        # independent serial chains interleave, giving the VPU cross-def
+        # ILP a single 240-op chain lacks.  Output is the concatenated
+        # log-plane stack [NWS, sum(sb_d), L_pad, LANE]; self._sb_off[d]
+        # locates def d's planes.
+        self._sb_off: List[int] = []
+        off_sb = 0
+        for c in self.circuits:
+            self._sb_off.append(off_sb)
+            off_sb += c.sb
+        SB_sum = off_sb
+        self._sb_sum = SB_sum
+
+        def make_scan_fused(NWS: int, fused_pack: bool = False):
+            NT = min(nws_tile, NWS)
+            while NWS % NT != 0:
+                NT -= 1
+            n_b = NWS // NT
+            any_fold = any(c.fold_class for c in self.circuits)
+            KIN = 8 if (fused_pack or any_fold and not class_stage) else self._kp
+
+            def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
+                l = pl.program_id(1)
+
+                if fused_pack:
+                    bits_scr = maybe_bits_scr[0]
+                    qmask = jnp.int32(_QUAD_MASK)
+                    for j in range(8):
+                        acc = None
+                        for mm in range(8):
+                            v = ((bits_ref[:, mm] >> j) & qmask) << mm
+                            acc = v if acc is None else acc | v
+                        bits_scr[:, j] = acc
+                    plane_ref = bits_scr
+                else:
+                    plane_ref = bits_ref
+
+                # carry layout: def-major one-hot planes
+                live_off = []
+                off_c = 0
+                for c in self.circuits:
+                    live_off.append(off_c)
+                    off_c += len(c.live_states)
+                n_carry = off_c
+
+                @pl.when(l == 0)
+                def _():
+                    for d, c in enumerate(self.circuits):
+                        for j, s in enumerate(c.live_states):
+                            st_scr[live_off[d] + j] = jnp.full(
+                                (NT, LANE),
+                                -1 if s == c.first_state else 0,
+                                jnp.int32,
+                            )
+
+                carry0 = tuple(st_scr[j] for j in range(n_carry))
+
+                def body(i, carry):
+                    nxt: List = []
+                    for d, c in enumerate(self.circuits):
+                        if c.fold_class:
+                            env = {
+                                f"byte_bit{j}": plane_ref[i, j]
+                                for j in range(8)
+                            }
+                        else:
+                            env = {
+                                name: plane_ref[i, self._cls_off[d] + j]
+                                for j, name in enumerate(c.class_plane_names)
+                            }
+                        env.update(
+                            {
+                                f"st{s}": carry[live_off[d] + j]
+                                for j, s in enumerate(c.live_states)
+                            }
+                        )
+                        out = c.step_prog.run(env)
+                        for j in range(c.sb):
+                            out_ref[:, self._sb_off[d] + j, i] = out[f"log{j}"]
+                        nxt.extend(out[f"nst{s}"] for s in c.live_states)
+                    return tuple(nxt)
+
+                final = jax.lax.fori_loop(0, LC, body, carry0)
+                for j in range(n_carry):
+                    st_scr[j] = final[j]
+
+            n_carry_total = sum(len(c.live_states) for c in self.circuits)
+            scratch = [pltpu.VMEM((n_carry_total, NT, LANE), jnp.int32)]
+            if fused_pack:
+                scratch.append(pltpu.VMEM((LC, 8, NT, LANE), jnp.int32))
+            return pl.pallas_call(
+                kern,
+                grid=(n_b, n_l),
+                in_specs=[
+                    pl.BlockSpec(
+                        (LC, KIN, NT, LANE),
+                        lambda b, l: (l, 0, b, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (NT, SB_sum, LC, LANE),
+                    lambda b, l: (b, 0, l, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (NWS, SB_sum, L_pad, LANE), jnp.int32
+                ),
+                scratch_shapes=scratch,
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_scan_fused = make_scan_fused
+
         # ----- pack kernel -----
         # Byte-bit plane extraction from the raw quad rows as a
         # position-parallel Pallas kernel: VMEM-resident bit logic instead
@@ -777,11 +900,13 @@ class BitplaneMatcher:
             # (multiple of 8, multiple of 128) or the full array dims.
             sbs = [c.sb for c in self.circuits]
 
+            soff = self._sb_off
+
             def kern(*refs):
-                log_refs = refs[:n_defs]
-                en_ref = refs[n_defs]
-                out_ref = refs[n_defs + 1] if not direct_mode else None
-                out_refs = refs[n_defs + 1 :]
+                log_ref = refs[0]  # fused [*, SB_sum, L_pad, LANE] stack
+                en_ref = refs[1]
+                out_ref = refs[2] if not direct_mode else None
+                out_refs = refs[2:]
                 en = en_ref[0, 0]  # [L_pad, LANE]
                 zrow = jnp.zeros((1, LANE), jnp.int32)
 
@@ -798,7 +923,7 @@ class BitplaneMatcher:
                 start_any = None
                 endf_any = None
                 for d, circ in enumerate(self.circuits):
-                    nxt = [log_refs[d][0, j] for j in range(sbs[d])]
+                    nxt = [log_ref[0, soff[d] + j] for j in range(sbs[d])]
                     first_bits = [
                         jnp.full(
                             (1, LANE),
@@ -867,7 +992,7 @@ class BitplaneMatcher:
                     }
                     for d in range(n_defs):
                         avail[f"states{d}"] = [
-                            log_refs[d][0, j] for j in range(sbs[d])
+                            log_ref[0, soff[d] + j] for j in range(sbs[d])
                         ]
                 if direct_mode:
                     # one l4-packed [B, L]-major int32 array per field:
@@ -908,12 +1033,10 @@ class BitplaneMatcher:
 
             in_specs = [
                 pl.BlockSpec(
-                    (1, sb, L_pad, LANE),
+                    (1, SB_sum, L_pad, LANE),
                     lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
-                )
-                for sb in sbs
-            ] + [
+                ),
                 pl.BlockSpec(
                     (1, 1, L_pad, LANE),
                     lambda b: (b, 0, 0, 0),
@@ -1013,15 +1136,14 @@ class BitplaneMatcher:
             ).astype(jnp.int32) << beta
             en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
 
-            # 2. scan kernel per def (class circuit folded in)
+            # 2. fused scan kernel: all defs' step circuits in one pass
+            # over the plane stack (single read; cross-def chain ILP)
+            logs_stack = make_scan_fused(NWS, fused_pack=fuse_pack)(
+                bits_stack
+            )  # [NWS, SB_sum, L_pad, LANE]
             logs_per_def = [
-                make_scan(
-                    circ,
-                    NWS,
-                    fused_pack=fuse_pack,
-                    cls_off=self._cls_off[d],
-                )(bits_stack)
-                for d, circ in enumerate(self.circuits)
+                logs_stack[:, self._sb_off[d] : self._sb_off[d] + c.sb]
+                for d, c in enumerate(self.circuits)
             ]
 
             # 3+4. tag + id-sum + mask FSMs
@@ -1029,7 +1151,7 @@ class BitplaneMatcher:
                 # Post kernel wrote l4-packed [B, L]-major int32 per field
                 # — the [B, L] uint8 column is a zero-copy bitcast+reshape
                 # (flat order (m, nws, lane, s, l4, byte) IS string-major).
-                outs = make_post(NWS)(*logs_per_def, en_plane[:, None])
+                outs = make_post(NWS)(logs_stack, en_plane[:, None])
                 vals = {}
                 for (name, _nb), arr in zip(dfields, outs):
                     u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8)
@@ -1041,7 +1163,7 @@ class BitplaneMatcher:
                 # and transposes to string-major [B, L] order (bit beta =
                 # 8s+b of word w is string 4*(w + NW*b) + s, so flat
                 # string order is dims (b, nws, lane, s)).
-                g4 = make_post(NWS)(*logs_per_def, en_plane[:, None])
+                g4 = make_post(NWS)(logs_stack, en_plane[:, None])
                 G = len(wgroups)
                 u8 = jax.lax.bitcast_convert_type(
                     g4.reshape(NWS, G, 8, L_pad, LANE)[:, :, :, :L],
@@ -1059,7 +1181,7 @@ class BitplaneMatcher:
                             v.transpose(1, 0, 3, 4, 2).reshape(B, L)
                         )
             elif post == "pallas":
-                post_out = make_post(NWS)(*logs_per_def, en_plane[:, None])
+                post_out = make_post(NWS)(logs_stack, en_plane[:, None])
 
                 def planes_of(name):
                     o, nb = self._post_off[name]

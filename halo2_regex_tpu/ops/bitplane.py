@@ -440,21 +440,38 @@ class BitplaneMatcher:
         if fuse_pack is None:
             fuse_pack = False
         self.fuse_pack = fuse_pack
+        explicit_cs = class_stage is not None
         env_cs = os.environ.get("H2R_CLASS_STAGE")
         if env_cs is not None:
-            class_stage = {
-                "0": False,
-                "false": False,
-                "1": "onehot",
-                "onehot": "onehot",
-                "binary": "binary",
-            }[env_cs.lower()]
+            try:
+                class_stage = {
+                    "0": False,
+                    "false": False,
+                    "1": "onehot",
+                    "onehot": "onehot",
+                    "binary": "binary",
+                }[env_cs.lower()]
+            except KeyError:
+                raise ValueError(
+                    f"H2R_CLASS_STAGE={env_cs!r}: expected one of "
+                    "0/false/1/onehot/binary"
+                ) from None
+            explicit_cs = True
         if class_stage is None:
             class_stage = "binary"
         if class_stage is True:
             class_stage = "onehot"
-        if fuse_pack:
-            class_stage = False  # mutually exclusive pack strategies
+        if fuse_pack and class_stage:
+            # mutually exclusive pack strategies: fuse_pack extracts byte
+            # planes in the scan prologue, so there is no pack kernel to
+            # host the class circuit
+            if explicit_cs:
+                raise ValueError(
+                    "class_stage and fuse_pack are mutually exclusive "
+                    "(in-scan plane extraction has no pack kernel for "
+                    "the class circuit)"
+                )
+            class_stage = False
         self.class_stage = class_stage
         L = model.max_chars_size
         total = model.total_substrs
@@ -627,8 +644,10 @@ class BitplaneMatcher:
             while NWS % NT != 0:
                 NT -= 1
             n_b = NWS // NT
-            any_fold = any(c.fold_class for c in self.circuits)
-            KIN = 8 if (fused_pack or any_fold and not class_stage) else self._kp
+            # _kp is 8 (byte planes) when class_stage is off — which
+            # fused_pack forces — and the concatenated class-plane count
+            # otherwise, so it is the input plane count in every mode.
+            KIN = self._kp
 
             def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
                 l = pl.program_id(1)
@@ -861,6 +880,12 @@ class BitplaneMatcher:
             if emit is None:
                 wb = os.environ.get("H2R_WITNESS_BYTES")
                 emit = {"0": "planes", "1": "bytes"}.get(wb, "bytes")
+            else:
+                emit = emit.lower()
+                if emit not in ("planes", "bytes", "direct"):
+                    raise ValueError(
+                        f"H2R_EMIT={emit!r}: expected planes/bytes/direct"
+                    )
             fields: List[Tuple[str, int]] = [
                 ("flags", 6),
                 ("masked_idsum", nsum),
@@ -1378,8 +1403,9 @@ class BitplaneMatcher:
         """Run just the sequential scan kernel for def ``d`` on a prepared
         plane stack [L_pad, KP, NWS, 128] (profiling hook).  KP is 8
         byte-bit planes when ``class_stage`` is off, or the concatenated
-        per-def class-indicator planes when on (feed ``pack_planes``
-        output either way)."""
+        per-def class planes when on — either way, feed the pack
+        kernel's output: ``self._make_pack(NWS)(raw_quads(chars,
+        self.L_pad).reshape(self.L_pad, 8, NWS, 128))``."""
         return self._make_scan(
             self.circuits[d], bits_stack.shape[2], cls_off=self._cls_off[d]
         )(bits_stack)

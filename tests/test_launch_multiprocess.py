@@ -18,9 +18,6 @@ import socket
 import subprocess
 import sys
 
-import numpy as np
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 

@@ -161,14 +161,20 @@ def main() -> int:
     # The relay chip's throughput swings 2-3x run to run (shared tenancy);
     # repeat the chained measurement and keep the best (the least-contended
     # observation of the same deterministic work). Compiles are cached
-    # after the first call, so repeats are cheap.
+    # after the first call, so repeats are cheap.  Back-to-back repeats
+    # all land in the SAME contention window — space them out so the
+    # best-of sampling actually sees different windows (contention varies
+    # on a seconds-to-minutes scale).
     secs = []
-    for _ in range(int(os.environ.get("H2R_BENCH_REPEATS", 6))):
+    gap = float(os.environ.get("H2R_BENCH_REPEAT_GAP_SEC", 15))
+    for rep in range(int(os.environ.get("H2R_BENCH_REPEATS", 10))):
         s = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
         if s > 1e-7:  # guard the non-positive-slope degenerate case
             secs.append(s)
         if time.time() - t_start > budget:
             break
+        if gap and rep < 9 and time.time() - t_start < budget * 0.75:
+            time.sleep(gap)
     sec = min(secs) if secs else 1e-9
     value = B * L / sec
 

@@ -317,3 +317,29 @@ def test_expand_witness_roundtrip(model3):
     ok = check_witness_batch(model3.regex_defs, rc)
     expect = np.asarray(rf.match_ok).astype(bool)
     np.testing.assert_array_equal(np.asarray(ok), expect)
+
+
+def test_fused_scan_matches_per_def_kernels(model12):
+    """The fused multi-def scan kernel's concatenated log stack equals the
+    per-def kernels' outputs plane for plane (same plane stack in)."""
+    import jax.numpy as jnp
+
+    from halo2_regex_tpu.ops.bitplane import raw_quads
+
+    m = BitplaneMatcher(model12, interpret=True)
+    B = 128
+    rng = np.random.default_rng(7)
+    chars = rng.integers(0, 256, size=(B, MAX_LEN)).astype(np.uint8)
+    tile = 32 * 128
+    pad = tile - B % tile
+    chars_p = np.concatenate([chars, np.zeros((pad, MAX_LEN), np.uint8)])
+    NWS = chars_p.shape[0] // 32 // 128
+    R = raw_quads(jnp.asarray(chars_p), m.L_pad).reshape(m.L_pad, 8, NWS, 128)
+    bits = m._make_pack(NWS)(R)
+    fused = m._make_scan_fused(NWS)(bits)
+    for d, circ in enumerate(m.circuits):
+        per_def = m.scan_planes(bits, d)
+        got = fused[:, m._sb_off[d] : m._sb_off[d] + circ.sb]
+        np.testing.assert_array_equal(
+            np.asarray(got), np.asarray(per_def), err_msg=f"def {d}"
+        )

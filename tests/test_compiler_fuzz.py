@@ -90,3 +90,58 @@ def test_dfa_agrees_with_re(seed):
             assert ours == theirs, (pat, s, ours, theirs)
             checked += 1
     assert checked > 300  # the generator actually produced cases
+
+
+def test_bitplane_matches_re_on_random_models():
+    """End-to-end: random toy-grammar model -> bitslice synthesis ->
+    bitplane kernels (interpret) must agree with `re` acceptance."""
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    rng = np.random.default_rng(42)
+    models_checked = 0
+    for _ in range(40):
+        if models_checked >= 8:
+            break
+        pat, py_pat = gen_pattern(rng)
+        py = re.compile(py_pat)
+        # need a pattern that can match something non-empty
+        samples = [
+            m.group(0)
+            for m in (
+                py.fullmatch(gen_input(rng, int(rng.integers(1, 10))))
+                for _ in range(40)
+            )
+            if m and m.group(0)
+        ]
+        if not samples:
+            continue
+        cfg = DecomposedRegexConfig.from_json(
+            {
+                "max_byte_size": 16,
+                "parts": [
+                    {"is_public": False, "regex_def": pat, "max_size": 16}
+                ],
+            }
+        )
+        try:
+            # multi_accept honors every accepting DFA state (patterns with
+            # optional tails like (x)? are routine in the generator)
+            model = CompiledRegexModel.from_decomposed(
+                cfg, max_chars_size=16, multi_accept=True
+            )
+            matcher = BitplaneMatcher(model, interpret=True)
+        except Exception:
+            continue  # unsynthesizable edge: covered by other tests
+        inputs = set(samples[:4])
+        inputs.update(gen_input(rng, int(rng.integers(0, 10))) for _ in range(6))
+        for s in inputs:
+            if len(s) > 16:
+                continue
+            res = matcher.match_one(s.encode())
+            ours = bool(np.asarray(res.match_ok))
+            theirs = py.fullmatch(s) is not None
+            assert ours == theirs, (pat, s, ours, theirs)
+        models_checked += 1
+    assert models_checked >= 8

@@ -166,14 +166,15 @@ def main() -> int:
     # best-of sampling actually sees different windows (contention varies
     # on a seconds-to-minutes scale).
     secs = []
-    gap = float(os.environ.get("H2R_BENCH_REPEAT_GAP_SEC", 15))
-    for rep in range(int(os.environ.get("H2R_BENCH_REPEATS", 10))):
+    gap = float(os.environ.get("H2R_BENCH_REPEAT_GAP_SEC", 20))
+    n_reps = int(os.environ.get("H2R_BENCH_REPEATS", 16))
+    for rep in range(n_reps):
         s = benchmark_chained(make_chained, (chars_j,), ks=(1, 1 + iters))
         if s > 1e-7:  # guard the non-positive-slope degenerate case
             secs.append(s)
         if time.time() - t_start > budget:
             break
-        if gap and rep < 9 and time.time() - t_start < budget * 0.75:
+        if gap and rep < n_reps - 1 and time.time() - t_start < budget * 0.75:
             time.sleep(gap)
     sec = min(secs) if secs else 1e-9
     value = B * L / sec

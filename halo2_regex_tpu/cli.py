@@ -246,6 +246,19 @@ def _cmd_bench(args) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor an explicit cpu request before any backend initializes: the
+    # TPU relay's sitecustomize otherwise overrides JAX_PLATFORMS and the
+    # device commands pay a multi-minute remote-compile warmup.
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     parser = argparse.ArgumentParser(
         prog="halo2_regex_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,

@@ -82,6 +82,9 @@ def _throughput(matcher, chars, lengths, iters):
     # Relay noise can make the K-slope non-positive (the K=1 window ran
     # contended, the K window didn't); retry a few times and fall back to
     # the raw K-run average rather than reporting a nonsense slope.
+    # NOTE: do NOT bound the slope against t(fk)/K — the average is
+    # dominated by the fixed ~30 ms relay fetch, so genuine slopes sit
+    # far below it (that asymmetry is the whole point of the K-slope).
     for _ in range(3):
         slope = (t(fk) - t(f1)) / (K - 1)
         if slope > 1e-7:

@@ -57,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.h2r_mask_fsm.argtypes = [i32p, i32p, i32p, i64, i64, i32p, i32p, i32p]
     lib.h2r_pack_lines.argtypes = [
-        u8p, i64, i64, i32, u8p, i32p, ctypes.POINTER(i64),
+        u8p, i64, i64, i32, u8p, i32p, ctypes.POINTER(i64), i32,
     ]
     lib.h2r_pack_lines.restype = i64
     lib.h2r_num_threads.restype = ctypes.c_int
@@ -156,19 +156,23 @@ def mask_fsm(
     return fwd, bwd, msk
 
 
-def pack_lines(data: bytes, max_len: int) -> Tuple[np.ndarray, np.ndarray, int]:
+def pack_lines(
+    data: bytes, max_len: int, keep_newline: bool = False
+) -> Tuple[np.ndarray, np.ndarray, int]:
     """Split a newline-delimited corpus buffer into a padded batch.
-    Returns (chars [N, max_len] uint8, lengths [N] int32, n_truncated)."""
+    Returns (chars [N, max_len] uint8, lengths [N] int32, n_truncated).
+    ``keep_newline`` restores each terminated line's ``\\n`` byte."""
     lib = _load()
     assert lib is not None
+    nl = 1 if keep_newline else 0
     buf = np.frombuffer(data, np.uint8)
-    n = lib.h2r_pack_lines(_u8p(buf), buf.size, max_len, 1, None, None, None)
+    n = lib.h2r_pack_lines(_u8p(buf), buf.size, max_len, 1, None, None, None, nl)
     chars = np.zeros((n, max_len), np.uint8)
     lengths = np.zeros((n,), np.int32)
     trunc = ctypes.c_int64(0)
     lib.h2r_pack_lines(
         _u8p(buf), buf.size, max_len, 0, _u8p(chars), _i32p(lengths),
-        ctypes.byref(trunc),
+        ctypes.byref(trunc), nl,
     )
     return chars, lengths, int(trunc.value)
 

@@ -115,9 +115,13 @@ void h2r_mask_fsm(const int32_t* id_sum, const int32_t* is_start_sum,
 // Pass 1 (count_only=1): returns the number of lines; out buffers unused.
 // Pass 2: fills chars_out [n, max_len] and lengths_out [n]; lines longer
 // than max_len are truncated (truncated count returned via *n_truncated).
+// keep_newline restores each terminated line's '\n' byte (lines split on
+// '\n'; the final unterminated line is unchanged) — the email-header DFAs
+// need the full \r\n ending to reach their accept state.
 int64_t h2r_pack_lines(const uint8_t* data, int64_t data_len, int64_t max_len,
                        int32_t count_only, uint8_t* chars_out,
-                       int32_t* lengths_out, int64_t* n_truncated) {
+                       int32_t* lengths_out, int64_t* n_truncated,
+                       int32_t keep_newline) {
   int64_t n = 0;
   int64_t start = 0;
   int64_t truncated = 0;
@@ -125,6 +129,7 @@ int64_t h2r_pack_lines(const uint8_t* data, int64_t data_len, int64_t max_len,
     if (i == data_len || data[i] == '\n') {
       if (i == data_len && i == start) break;  // no trailing empty line
       int64_t len = i - start;
+      if (keep_newline && i < data_len) ++len;  // the '\n' at data[i]
       if (!count_only) {
         int64_t copy = len < max_len ? len : max_len;
         if (len > max_len) ++truncated;

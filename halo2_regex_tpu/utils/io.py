@@ -26,16 +26,14 @@ def pack_lines(
     ``keep_newline`` restores each line's terminating ``\\n`` byte (the
     on-disk bytes, e.g. the ``\\r\\n`` the email-header DFAs require to
     reach their accept state — without it a corpus scan of those models
-    matches nothing).  The native fast path currently covers only the
-    stripped default."""
-    if not keep_newline:
-        try:
-            from .. import native
+    matches nothing)."""
+    try:
+        from .. import native
 
-            if native.available():
-                return native.pack_lines(data, max_len)
-        except Exception:
-            pass
+        if native.available():
+            return native.pack_lines(data, max_len, keep_newline)
+    except Exception:
+        pass
     lines = data.split(b"\n")
     last_had_nl = bool(lines) and lines[-1] == b""
     if last_had_nl:

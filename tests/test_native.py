@@ -87,3 +87,22 @@ def test_pack_lines_trailing_newline():
     chars, lengths, _ = native.pack_lines(b"a\nb\n", 4)
     assert chars.shape == (2, 4)
     assert lengths.tolist() == [1, 1]
+
+
+def test_pack_lines_keep_newline_native():
+    import numpy as np
+
+    from halo2_regex_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    c, l, t = native.pack_lines(b"ab\ncd\nef", 8, keep_newline=True)
+    assert l.tolist() == [3, 3, 2]
+    assert bytes(c[0][:3]) == b"ab\n"
+    assert bytes(c[1][:3]) == b"cd\n"
+    assert bytes(c[2][:2]) == b"ef"
+    # truncation counts the restored byte toward max_len
+    c, l, t = native.pack_lines(b"abcd\nx\n", 4, keep_newline=True)
+    assert t == 1 and l.tolist() == [4, 2]

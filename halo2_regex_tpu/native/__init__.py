@@ -167,8 +167,11 @@ def pack_lines(
     nl = 1 if keep_newline else 0
     buf = np.frombuffer(data, np.uint8)
     n = lib.h2r_pack_lines(_u8p(buf), buf.size, max_len, 1, None, None, None, nl)
-    chars = np.zeros((n, max_len), np.uint8)
-    lengths = np.zeros((n,), np.int32)
+    # np.empty, not zeros: the fill pass writes every byte of every row
+    # (memcpy + memset padding), so zeroing here would re-clear the whole
+    # batch buffer a second time.
+    chars = np.empty((n, max_len), np.uint8)
+    lengths = np.empty((n,), np.int32)
     trunc = ctypes.c_int64(0)
     lib.h2r_pack_lines(
         _u8p(buf), buf.size, max_len, 0, _u8p(chars), _i32p(lengths),

@@ -9,8 +9,10 @@
 //
 // Build: see build.py (g++ -O3 -march=native -shared -fPIC [-fopenmp]).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -122,26 +124,59 @@ int64_t h2r_pack_lines(const uint8_t* data, int64_t data_len, int64_t max_len,
                        int32_t count_only, uint8_t* chars_out,
                        int32_t* lengths_out, int64_t* n_truncated,
                        int32_t keep_newline) {
-  int64_t n = 0;
-  int64_t start = 0;
-  int64_t truncated = 0;
-  for (int64_t i = 0; i <= data_len; ++i) {
-    if (i == data_len || data[i] == '\n') {
-      if (i == data_len && i == start) break;  // no trailing empty line
-      int64_t len = i - start;
-      if (keep_newline && i < data_len) ++len;  // the '\n' at data[i]
-      if (!count_only) {
-        int64_t copy = len < max_len ? len : max_len;
-        if (len > max_len) ++truncated;
-        std::memcpy(chars_out + n * max_len, data + start, copy);
-        std::memset(chars_out + n * max_len + copy, 0, max_len - copy);
-        lengths_out[n] = (int32_t)copy;
-      }
-      ++n;
-      start = i + 1;
+  // The serial memchr loop tops out ~1-2 GB/s while the device scan runs
+  // 20-50 GB/s, making packing the corpus-job bottleneck.  Parallel form:
+  // block-local newline counts -> exclusive scan -> block-parallel
+  // position fill -> line-parallel copy.
+  const int64_t BLK = 1 << 20;
+  const int64_t n_blk = data_len > 0 ? (data_len + BLK - 1) / BLK : 0;
+  std::vector<int64_t> counts(n_blk + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < n_blk; ++b) {
+    const uint8_t* p = data + b * BLK;
+    const uint8_t* end = data + std::min(data_len, (b + 1) * BLK);
+    int64_t c = 0;
+    while ((p = (const uint8_t*)memchr(p, '\n', end - p)) != nullptr) {
+      ++c;
+      ++p;
+    }
+    counts[b + 1] = c;
+  }
+  for (int64_t b = 0; b < n_blk; ++b) counts[b + 1] += counts[b];
+  int64_t n_nl = n_blk ? counts[n_blk] : 0;
+  // final unterminated line (buffer not ending in '\n') is one more row
+  bool tail_line = data_len > 0 && data[data_len - 1] != '\n';
+  int64_t n = n_nl + (tail_line ? 1 : 0);
+  if (count_only) return n;
+
+  std::vector<int64_t> nl_pos(n_nl);
+#pragma omp parallel for schedule(static)
+  for (int64_t b = 0; b < n_blk; ++b) {
+    const uint8_t* base = data;
+    const uint8_t* p = data + b * BLK;
+    const uint8_t* end = data + std::min(data_len, (b + 1) * BLK);
+    int64_t w = counts[b];
+    while ((p = (const uint8_t*)memchr(p, '\n', end - p)) != nullptr) {
+      nl_pos[w++] = p - base;
+      ++p;
     }
   }
-  if (!count_only && n_truncated) *n_truncated = truncated;
+
+  int64_t truncated = 0;
+#pragma omp parallel for schedule(static) reduction(+ : truncated)
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t start = r == 0 ? 0 : nl_pos[r - 1] + 1;
+    bool terminated = r < n_nl;
+    int64_t stop = terminated ? nl_pos[r] : data_len;
+    int64_t len = stop - start;
+    if (keep_newline && terminated) ++len;  // the '\n' at data[stop]
+    int64_t copy = len < max_len ? len : max_len;
+    if (len > max_len) ++truncated;
+    std::memcpy(chars_out + r * max_len, data + start, copy);
+    std::memset(chars_out + r * max_len + copy, 0, max_len - copy);
+    lengths_out[r] = (int32_t)copy;
+  }
+  if (n_truncated) *n_truncated = truncated;
   return n;
 }
 

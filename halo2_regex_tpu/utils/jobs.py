@@ -64,6 +64,7 @@ class ScanJob:
         chunk_bytes: int = 64 << 20,
         on_batch: Optional[Callable] = None,
         keep_newline: bool = False,
+        prefetch: int = 2,
     ):
         self.matcher = matcher
         self.paths: List[str] = sorted(paths)
@@ -73,13 +74,13 @@ class ScanJob:
         self.chunk_bytes = chunk_bytes
         self.on_batch = on_batch
         self.keep_newline = keep_newline
+        # chunks read+packed ahead of the device by a worker thread (the
+        # ctypes packer releases the GIL); 0 disables pipelining.
+        self.prefetch = prefetch
 
-    def run(self) -> Counters:
-        state = JobState()
-        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
-            state = JobState.load(self.checkpoint_path)
-        counters = Counters(**state.counters).start()
-
+    def _packed_chunks(self, state: JobState):
+        """Yield (file_idx, end_offset, chars, lengths, trunc) per corpus
+        chunk, starting from the checkpointed position."""
         for file_idx in range(state.file_idx, len(self.paths)):
             path = self.paths[file_idx]
             offset = state.offset if file_idx == state.file_idx else 0
@@ -101,23 +102,63 @@ class ScanJob:
                     chars, lengths, trunc = pack_lines(
                         data, self.max_len, self.keep_newline
                     )
-                    state.n_truncated += trunc
-                    for bchars, blens, n_valid in batch_iterator(
-                        chars, lengths, self.batch_size
-                    ):
-                        res = self.matcher(bchars, blens)
-                        counters.update(res, blens, n_valid)
-                        if self.on_batch is not None:
-                            self.on_batch(res, bchars, blens, n_valid)
                     offset += consumed
-                    state.file_idx = file_idx
-                    state.offset = offset
-                    state.counters = counters.snapshot()
-                    if self.checkpoint_path:
-                        state.save(self.checkpoint_path)
-            state.offset = 0
-            state.file_idx = file_idx + 1
+                    yield file_idx, offset, chars, lengths, trunc
+
+    def run(self) -> Counters:
+        state = JobState()
+        if self.checkpoint_path and os.path.exists(self.checkpoint_path):
+            state = JobState.load(self.checkpoint_path)
+        counters = Counters(**state.counters).start()
+
+        chunks = self._packed_chunks(state)
+        if self.prefetch:
+            # read+pack the NEXT chunk(s) while the device scans this one.
+            # Crash safety is unchanged: the checkpoint only advances when
+            # a chunk's batches have all been consumed, so prefetched but
+            # unprocessed chunks are simply re-read on restart.
+            chunks = _prefetched(chunks, self.prefetch)
+        for file_idx, end_offset, chars, lengths, trunc in chunks:
+            state.n_truncated += trunc
+            for bchars, blens, n_valid in batch_iterator(
+                chars, lengths, self.batch_size
+            ):
+                res = self.matcher(bchars, blens)
+                counters.update(res, blens, n_valid)
+                if self.on_batch is not None:
+                    self.on_batch(res, bchars, blens, n_valid)
+            state.file_idx = file_idx
+            state.offset = end_offset
+            state.counters = counters.snapshot()
             if self.checkpoint_path:
                 state.save(self.checkpoint_path)
         counters.finish()
         return counters
+
+
+def _prefetched(gen, depth: int):
+    """Drain ``gen`` in a daemon thread into a bounded queue (pipeline
+    IO+packing with consumption); exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _END = object()
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -160,3 +160,37 @@ def test_corpus_loader_keep_newline_chunked(tmp_path):
         for i in range(nv):
             rows.append(bytes(ch[i][: ln[i]]))
     assert rows == [b"aaaa\n", b"bb\n", b"cccccc\n", b"dd"]
+
+
+def test_scan_job_prefetch_parity_and_errors(tmp_path):
+    """Pipelined (prefetch) and unpipelined runs produce identical
+    counters; reader-thread exceptions propagate to the caller."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+    from halo2_regex_tpu.utils.jobs import ScanJob
+    from fixtures import CONFIGS
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=32
+    )
+    matcher = BatchMatcher(model)
+    corpus = tmp_path / "c.txt"
+    corpus.write_bytes(b"from:a@b.cd\r\nnope\nfrom:x@y.zw\r\n".replace(b"\\r", b"\r"))
+    a = ScanJob(matcher, [str(corpus)], batch_size=4, prefetch=2).run()
+    b = ScanJob(matcher, [str(corpus)], batch_size=4, prefetch=0).run()
+
+    def stable(c):
+        return {k: v for k, v in c.snapshot().items() if k != "wall_seconds"}
+
+    assert stable(a) == stable(b)
+
+    import pytest
+
+    bad = ScanJob(matcher, [str(corpus), str(tmp_path / "missing.txt")],
+                  batch_size=4, prefetch=2)
+    with pytest.raises(FileNotFoundError):
+        bad.run()

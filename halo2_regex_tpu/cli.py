@@ -141,66 +141,40 @@ def _cmd_scan(args) -> int:
     from .models.compiled import CompiledRegexModel
     from .ops import best_matcher
     from .ops.reference import extract_substrings
-    from .utils.io import CorpusLoader
-    from .utils.trace import Counters
 
     model = CompiledRegexModel.load(args.model)
     matcher, _ = best_matcher(model, backend=args.backend)
-    if args.checkpoint:
-        from .utils.jobs import ScanJob
+    from .utils.jobs import ScanJob
 
-        def _print_matches(res, chars, lengths, n_valid):
-            if not args.print_matches:
-                return
-            ok = np.asarray(res.match_ok)
-            for i in np.nonzero(ok[:n_valid])[0]:
-                if lengths[i] == 0:
-                    continue
-                row = res.map(lambda a: np.asarray(a)[i])
-                print(json.dumps({
-                    "input": bytes(chars[i][: lengths[i]]).decode("latin-1"),
-                    "substrings": [
-                        {"offset": o, "text": t, "substr_id": s}
-                        for o, t, s in extract_substrings(row)
-                    ],
-                }))
+    def _print_matches(res, chars, lengths, n_valid):
+        if not args.print_matches:
+            return
+        ok = np.asarray(res.match_ok)
+        for i in np.nonzero(ok[:n_valid])[0]:
+            if lengths[i] == 0:
+                continue
+            row = res.map(lambda a: np.asarray(a)[i])
+            print(json.dumps({
+                "input": bytes(chars[i][: lengths[i]]).decode("latin-1"),
+                "substrings": [
+                    {"offset": o, "text": t, "substr_id": s}
+                    for o, t, s in extract_substrings(row)
+                ],
+            }))
 
-        job = ScanJob(
-            matcher, args.corpus, checkpoint_path=args.checkpoint,
-            batch_size=args.batch, on_batch=_print_matches,
-            keep_newline=args.keep_newline,
-        )
-        print(job.run().to_json())
-        return 0
-    loader = CorpusLoader(
-        args.corpus, max_len=model.max_chars_size, batch_size=args.batch,
+    # ScanJob handles both modes (checkpoint_path=None = plain scan) and
+    # pipelines read+pack with the device.
+    job = ScanJob(
+        matcher, args.corpus, checkpoint_path=args.checkpoint,
+        batch_size=args.batch, on_batch=_print_matches,
         keep_newline=args.keep_newline,
     )
-    counters = Counters().start()
-    for chars, lengths, n_valid in loader:
-        res = matcher(chars, lengths)
-        counters.update(res, lengths, n_valid)
-        if args.print_matches:
-            ok = np.asarray(res.match_ok)
-            for i in np.nonzero(ok[:n_valid])[0]:
-                if lengths[i] == 0:
-                    continue
-                row = res.map(lambda a: np.asarray(a)[i])
-                print(
-                    json.dumps(
-                        {
-                            "input": bytes(chars[i][: lengths[i]]).decode("latin-1"),
-                            "substrings": [
-                                {"offset": o, "text": t, "substr_id": s}
-                                for o, t, s in extract_substrings(row)
-                            ],
-                        }
-                    )
-                )
-    print(counters.finish().to_json())
-    if loader.n_truncated:
+    counters = job.run()
+    print(counters.to_json())
+    n_trunc = job.n_truncated
+    if n_trunc:
         print(
-            f"warning: {loader.n_truncated} line(s) longer than "
+            f"warning: {n_trunc} line(s) longer than "
             f"{model.max_chars_size} bytes were truncated",
             file=sys.stderr,
         )

@@ -77,6 +77,7 @@ class ScanJob:
         # chunks read+packed ahead of the device by a worker thread (the
         # ctypes packer releases the GIL); 0 disables pipelining.
         self.prefetch = prefetch
+        self.n_truncated = 0  # total truncated lines after run()
 
     def _packed_chunks(self, state: JobState):
         """Yield (file_idx, end_offset, chars, lengths, trunc) per corpus
@@ -132,6 +133,7 @@ class ScanJob:
             state.counters = counters.snapshot()
             if self.checkpoint_path:
                 state.save(self.checkpoint_path)
+        self.n_truncated = state.n_truncated
         counters.finish()
         return counters
 

@@ -99,7 +99,10 @@ def main(argv=None) -> int:
     # contributing empty batches until the global valid-count hits 0.
     Bh = args.batch_per_host
     Lm = model.max_chars_size
-    it = iter(loader)
+    from ..utils.jobs import _prefetched
+
+    # overlap each host's read+pack with its device step
+    it = _prefetched(iter(loader), 2)
     row = np.arange(Bh)
     while True:
         nxt = next(it, None)

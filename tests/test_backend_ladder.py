@@ -37,3 +37,28 @@ def test_explicit_bitplane_interpret_matches_xla(model):
     a, b = mb.match_one(line), mx.match_one(line)
     assert (np.asarray(a.masked_characters) == np.asarray(b.masked_characters)).all()
     assert bool(np.asarray(a.match_ok)) == bool(np.asarray(b.match_ok))
+
+
+def test_env_knob_validation(model, monkeypatch):
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    monkeypatch.setenv("H2R_CLASS_STAGE", "bogus")
+    with pytest.raises(ValueError, match="H2R_CLASS_STAGE"):
+        BitplaneMatcher(model, interpret=True)
+    monkeypatch.setenv("H2R_CLASS_STAGE", "onehot")
+    m = BitplaneMatcher(model, interpret=True)
+    assert m.class_stage == "onehot"
+    monkeypatch.delenv("H2R_CLASS_STAGE")
+
+    monkeypatch.setenv("H2R_EMIT", "DIRECT")
+    m = BitplaneMatcher(model, columns="witness", interpret=True)
+    assert m._emit == "direct"
+    monkeypatch.setenv("H2R_EMIT", "dirct")
+    with pytest.raises(ValueError, match="H2R_EMIT"):
+        BitplaneMatcher(model, columns="witness", interpret=True)
+    monkeypatch.delenv("H2R_EMIT")
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        BitplaneMatcher(
+            model, interpret=True, class_stage="binary", fuse_pack=True
+        )

@@ -265,3 +265,21 @@ def pack_batch(strings, max_chars_size: int):
         chars[i, : len(b)] = bytearray(b)
         lengths[i] = len(b)
     return chars, lengths
+
+
+def expand_rows(flat, starts, lengths, max_len: int):
+    """Gather padded [B, max_len] rows from a device-resident flat corpus
+    buffer (jit-friendly; the device-expand corpus path).
+
+    ``flat`` uint8 [total]; ``starts`` int [B] byte offsets;
+    ``lengths`` int32 [B] row lengths (<= max_len).  Positions past a
+    row's length are zero — identical to the host packer's padding, so
+    downstream matchers see the same batches while only the raw corpus
+    bytes cross the host->device link (avg_len/max_len of the padded
+    volume)."""
+    pos = jnp.arange(max_len, dtype=jnp.int32)
+    valid = pos[None, :] < lengths[:, None]
+    idx = starts[:, None].astype(jnp.int32) + pos[None, :]
+    idx = jnp.where(valid, idx, 0)
+    rows = jnp.take(flat, idx, axis=0)
+    return jnp.where(valid, rows, jnp.uint8(0))

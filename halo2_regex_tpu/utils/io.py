@@ -145,3 +145,29 @@ class CorpusLoader:
             alll = np.concatenate(carry_lens)
             for b in batch_iterator(allc, alll, self.batch_size):
                 yield b
+
+
+def flat_line_index(
+    data: bytes, max_len: int, keep_newline: bool = False
+):
+    """Index a newline-delimited buffer WITHOUT copying it into padded
+    rows: returns (starts int64 [N], lengths int32 [N], n_truncated).
+
+    Device-expand corpus path: the raw buffer is uploaded to the device
+    1:1 and rows are gathered there (ops.scan_jax.expand_rows), instead
+    of uploading ~max_len/avg_len x inflated zero padding per batch."""
+    arr = np.frombuffer(data, np.uint8)
+    nl = np.nonzero(arr == 0x0A)[0]
+    tail = len(data) > 0 and (len(nl) == 0 or nl[-1] != len(data) - 1)
+    n = len(nl) + (1 if tail else 0)
+    starts = np.zeros((n,), np.int64)
+    if len(nl):
+        starts[1 : len(nl) + (1 if tail else 0)] = nl[: n - 1] + 1
+    ends = np.empty((n,), np.int64)
+    ends[: len(nl)] = nl + (1 if keep_newline else 0)
+    if tail:
+        ends[-1] = len(data)
+    lengths = ends - starts
+    n_trunc = int((lengths > max_len).sum())
+    lengths = np.minimum(lengths, max_len).astype(np.int32)
+    return starts, lengths, n_trunc

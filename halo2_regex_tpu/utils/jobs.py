@@ -19,7 +19,7 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from .io import batch_iterator, pack_lines
+from .io import batch_iterator, flat_line_index, pack_lines
 from .trace import Counters
 
 
@@ -65,6 +65,7 @@ class ScanJob:
         on_batch: Optional[Callable] = None,
         keep_newline: bool = False,
         prefetch: int = 2,
+        device_expand: Optional[bool] = None,
     ):
         self.matcher = matcher
         self.paths: List[str] = sorted(paths)
@@ -77,11 +78,21 @@ class ScanJob:
         # chunks read+packed ahead of the device by a worker thread (the
         # ctypes packer releases the GIL); 0 disables pipelining.
         self.prefetch = prefetch
+        # device_expand: upload each chunk's RAW bytes once and gather the
+        # padded [B, max_len] rows ON DEVICE (ops.scan_jax.expand_rows) —
+        # nominally cuts host->device traffic by the padding inflation
+        # (max_len/avg_line_len, ~5x for 1 KB pads over email lines).
+        # Default OFF: on the relay-attached chip it measured SLOWER (165 s
+        # vs 103 s over a 512 MB corpus — the tunnel compresses the zero
+        # padding away, so raw upload saves nothing while the gather adds
+        # device work). Opt in on hardware with an uncompressed
+        # host<->device link.
+        self.device_expand = bool(device_expand)
         self.n_truncated = 0  # total truncated lines after run()
 
-    def _packed_chunks(self, state: JobState):
-        """Yield (file_idx, end_offset, chars, lengths, trunc) per corpus
-        chunk, starting from the checkpointed position."""
+    def _raw_chunks(self, state: JobState):
+        """Yield (file_idx, end_offset, data bytes) per corpus chunk (cut
+        at newline boundaries), starting from the checkpointed position."""
         for file_idx in range(state.file_idx, len(self.paths)):
             path = self.paths[file_idx]
             offset = state.offset if file_idx == state.file_idx else 0
@@ -100,11 +111,25 @@ class ScanJob:
                         else:
                             data = data[: cut + 1]
                             consumed = cut + 1
-                    chars, lengths, trunc = pack_lines(
-                        data, self.max_len, self.keep_newline
-                    )
                     offset += consumed
-                    yield file_idx, offset, chars, lengths, trunc
+                    yield file_idx, offset, data
+
+    def _packed_chunks(self, state: JobState):
+        """Host-packed form: (file_idx, end_offset, chars, lengths, trunc)."""
+        for file_idx, end_offset, data in self._raw_chunks(state):
+            chars, lengths, trunc = pack_lines(
+                data, self.max_len, self.keep_newline
+            )
+            yield file_idx, end_offset, chars, lengths, trunc
+
+    def _indexed_chunks(self, state: JobState):
+        """Device-expand form: (file_idx, end_offset, data, starts,
+        lengths, trunc) — rows indexed, bytes left in place."""
+        for file_idx, end_offset, data in self._raw_chunks(state):
+            starts, lengths, trunc = flat_line_index(
+                data, self.max_len, self.keep_newline
+            )
+            yield file_idx, end_offset, data, starts, lengths, trunc
 
     def run(self) -> Counters:
         state = JobState()
@@ -112,6 +137,8 @@ class ScanJob:
             state = JobState.load(self.checkpoint_path)
         counters = Counters(**state.counters).start()
 
+        if self.device_expand:
+            return self._run_device_expand(state, counters)
         chunks = self._packed_chunks(state)
         if self.prefetch:
             # read+pack the NEXT chunk(s) while the device scans this one.
@@ -128,6 +155,51 @@ class ScanJob:
                 counters.update(res, blens, n_valid)
                 if self.on_batch is not None:
                     self.on_batch(res, bchars, blens, n_valid)
+            state.file_idx = file_idx
+            state.offset = end_offset
+            state.counters = counters.snapshot()
+            if self.checkpoint_path:
+                state.save(self.checkpoint_path)
+        self.n_truncated = state.n_truncated
+        counters.finish()
+        return counters
+
+    def _run_device_expand(self, state: JobState, counters: Counters):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.scan_jax import expand_rows
+
+        expand = jax.jit(expand_rows, static_argnums=3)
+        # fixed upload shape -> one jit signature across chunks; +max_len
+        # headroom so a final row's gather window stays in bounds
+        pad_to = self.chunk_bytes + self.max_len
+        buf = np.zeros((pad_to,), np.uint8)
+        B = self.batch_size
+        bs = np.zeros((B,), np.int64)
+        bl = np.zeros((B,), np.int32)
+
+        chunks = self._indexed_chunks(state)
+        if self.prefetch:
+            chunks = _prefetched(chunks, self.prefetch)
+        for file_idx, end_offset, data, starts, lengths, trunc in chunks:
+            state.n_truncated += trunc
+            buf[: len(data)] = np.frombuffer(data, np.uint8)
+            buf[len(data) :] = 0
+            flat = jnp.asarray(buf)  # ONE raw upload per chunk
+            n = len(starts)
+            for b0 in range(0, n, B):
+                n_valid = min(B, n - b0)
+                bs[:n_valid] = starts[b0 : b0 + n_valid]
+                bs[n_valid:] = 0
+                bl[:n_valid] = lengths[b0 : b0 + n_valid]
+                bl[n_valid:] = 0
+                blens = jnp.asarray(bl)
+                bchars = expand(flat, jnp.asarray(bs), blens, self.max_len)
+                res = self.matcher(bchars, blens)
+                counters.update(res, bl, n_valid)
+                if self.on_batch is not None:
+                    self.on_batch(res, bchars, bl, n_valid)
             state.file_idx = file_idx
             state.offset = end_offset
             state.counters = counters.snapshot()

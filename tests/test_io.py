@@ -194,3 +194,52 @@ def test_scan_job_prefetch_parity_and_errors(tmp_path):
                   batch_size=4, prefetch=2)
     with pytest.raises(FileNotFoundError):
         bad.run()
+
+
+def test_scan_job_device_expand_parity(tmp_path):
+    """device_expand (raw upload + on-device gather) produces identical
+    counters and match results to the host-packed path."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+    from halo2_regex_tpu.utils.jobs import ScanJob
+    from fixtures import CONFIGS
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=32
+    )
+    matcher = BatchMatcher(model)
+    corpus = tmp_path / "c.txt"
+    lines = [b"from:a@b.cd\r", b"nope", b"from:x@y.zw\r", b""] * 7
+    corpus.write_bytes(b"\n".join(lines) + b"\n")
+
+    inputs = {"host": [], "dev": []}
+
+    def collect(key):
+        def cb(res, chars, lengths, n_valid):
+            import numpy as np
+
+            for i in range(n_valid):
+                inputs[key].append(
+                    (bytes(np.asarray(chars)[i][: lengths[i]]),
+                     bool(np.asarray(res.match_ok)[i]))
+                )
+
+        return cb
+
+    a = ScanJob(matcher, [str(corpus)], batch_size=8, keep_newline=True,
+                device_expand=False, on_batch=collect("host"),
+                chunk_bytes=64).run()
+    b = ScanJob(matcher, [str(corpus)], batch_size=8, keep_newline=True,
+                device_expand=True, on_batch=collect("dev"),
+                chunk_bytes=64).run()
+
+    def stable(c):
+        return {k: v for k, v in c.snapshot().items() if k != "wall_seconds"}
+
+    assert stable(a) == stable(b)
+    assert inputs["host"] == inputs["dev"]
+    assert any(ok for _, ok in inputs["host"])

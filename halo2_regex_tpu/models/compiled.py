@@ -189,6 +189,20 @@ class CompiledRegexModel:
                 model.regex_defs[d].accept_states = accepts
                 model.accept_mask[d, :] = False
                 model.accept_mask[d, accepts] = True
+        else:
+            for d, accepts in enumerate(accept_sets):
+                if len(accepts) > 1:
+                    import warnings
+
+                    warnings.warn(
+                        f"def {d}: DFA has {len(accepts)} accepting states "
+                        f"{accepts}; reference single-accept semantics keep "
+                        "only the first — inputs reaching the others are "
+                        "REJECTED (typical cause: an optional tail like "
+                        "'(x)?'). Pass multi_accept=True to honor every "
+                        "accepting state.",
+                        stacklevel=2,
+                    )
         return model
 
     # ------------------------------------------------------------------

@@ -24,7 +24,11 @@ def cfg():
 
 
 def test_default_keeps_reference_semantics(cfg):
-    model = CompiledRegexModel.from_decomposed(cfg, max_chars_size=16)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # the drop IS this test's subject
+        model = CompiledRegexModel.from_decomposed(cfg, max_chars_size=16)
     m = BatchMatcher(model)
     ok_ab = bool(m.match_one(b"ab").match_ok)
     ok_abc = bool(m.match_one(b"abc").match_ok)
@@ -65,3 +69,24 @@ def test_multi_accept_round_trips_npz(tmp_path, cfg):
     np.testing.assert_array_equal(loaded.accept_mask, model.accept_mask)
     assert loaded.regex_defs[0].accept_states == model.regex_defs[0].accept_states
     assert bool(BatchMatcher(loaded).match_one(b"ab").match_ok)
+
+
+def test_single_accept_compile_warns(cfg):
+    """from_decomposed (the main compile API) warns when single-accept
+    semantics silently drop accepting states (USER_GUIDE's promise)."""
+    import warnings
+
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CompiledRegexModel.from_decomposed(cfg, max_chars_size=16)
+    assert any("accepting states" in str(x.message) for x in w), [
+        str(x.message) for x in w
+    ]
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        CompiledRegexModel.from_decomposed(
+            cfg, max_chars_size=16, multi_accept=True
+        )
+    assert not any("accepting states" in str(x.message) for x in w)

@@ -27,8 +27,9 @@ Hard-won constraints of this toolchain (tools/probe_tpu*.py, docs/PERF.md):
 take_along_axis mis-lowers narrow indices and is ~8 gathers/cycle (use
 one-hot selects); no dynamic_slice on values (only refs); no
 (a,b)->(a*b,) shape casts; MXU matmuls inside multi-dim grids with
-scratch SIGABRT the compiler (hence 1D whole-L grids; the 2D "chunked"
-mode is kept for fixed toolchains); scoped VMEM defaults to 16 MB with a
+scratch SIGABRT the compiler (hence 1D whole-L grids; the dead 2D
+"chunked" kernels are archived in tools/archive_chunked_kernels.py until
+a toolchain fixes the SIGABRT); scoped VMEM defaults to 16 MB with a
 usable ceiling near 56-60 MB (auto batch-tile sizing); data is time-major
 [L, TB] since lane-dimension dynamic indexing is the slow direction.
 
@@ -119,7 +120,7 @@ class PallasMatcher:
         interpret: bool = False,
         max_boundary_terms: int = 96,
         extract: str = "select",  # "select" | "take_along"
-        grid_mode: str = "batch",  # "batch" (1D, whole L) | "chunked" (2D)
+        grid_mode: str = "batch",  # "batch" (1D, whole L) | "segmented"
         slab: int = 8,  # positions per batched matmul + static unroll
         compute: str = "mxu",  # "mxu" (onehot matmul) | "vpu" (masked accumulate)
         mode: str = "auto",  # "auto" | "split" | "monolithic"
@@ -131,9 +132,9 @@ class PallasMatcher:
         """``grid_mode="batch"`` keeps the whole sequence in one VMEM block
         per batch tile with a 1D grid — the form this toolchain compiles
         (the current Mosaic build SIGABRTs on MXU matmuls inside multi-dim
-        grids with scratch, probe_tpu7). ``"chunked"`` streams L in
-        scratch-carried chunks (lower VMEM, preferred once the toolchain
-        handles it)."""
+        grids with scratch, probe_tpu7). ``"segmented"`` streams L in
+        1D-grid segments with carries threaded through kernel inputs
+        (auto-selected when whole-L blocks exceed the VMEM budget)."""
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
@@ -297,10 +298,18 @@ class PallasMatcher:
         TB = batch_tile
 
         # Long sequences cannot hold whole-L blocks in VMEM (BASELINE
-        # configs[3]: 64 KB inputs).  Split mode then streams L in chunks
-        # over a 2D (batch, chunk) grid with state/FSM carries in scratch —
-        # the Mosaic multi-dim-grid+scratch crash that blocked this in
-        # round 1 is fixed on the current toolchain (tools/probe_tpu21.py D).
+        # configs[3]: 64 KB inputs). Split mode then streams L in segments
+        # ("segmented": 1D grids, carries threaded through kernel inputs at
+        # the XLA level — the hardware-safe long-L form). The former
+        # "chunked" (2D grid + scratch) kernels SIGABRT the current Mosaic
+        # with wide-select bodies (tools/probe_tpu28/31/32) and were
+        # quarantined to tools/archive_chunked_kernels.py in round 3.
+        if grid_mode == "chunked":
+            raise ValueError(
+                "grid_mode='chunked' was removed (Mosaic SIGABRT, "
+                "tools/probe_tpu28); use 'segmented' — the archived kernels "
+                "live in tools/archive_chunked_kernels.py"
+            )
         budget_chk = int(float(__import__("os").environ.get(
             "H2R_VMEM_BUDGET", 56e6)))
         split_blocks = max(n_defs + 1, 4 * n_defs, 3 * n_defs + 2)
@@ -309,22 +318,8 @@ class PallasMatcher:
             and grid_mode == "batch"
             and 2 * L * 4 * split_blocks * TB > budget_chk
         ):
-            # "segmented" (1D grids, carries via kernel inputs) is the
-            # hardware-safe long-L form; "chunked" (2D grid + scratch)
-            # SIGABRTs the current Mosaic with wide-select bodies
-            # (tools/probe_tpu32.py) and stays opt-in.
             grid_mode = "segmented"
         self.grid_mode = grid_mode
-        if mode == "split" and grid_mode == "chunked":
-            LCC = min(
-                int(__import__("os").environ.get("H2R_SPLIT_CHUNK", 1024)), L
-            )
-            while L % LCC != 0:
-                LCC //= 2
-        else:
-            LCC = L
-        self.chunk_split = LCC
-        n_lc = L // LCC
 
         # Stride-2 scanning: compose byte PAIRS at the class level. With k
         # classes per def and k^2 <= 256, the pair class id is plain
@@ -332,9 +327,7 @@ class PallasMatcher:
         # the intermediate (odd) states are reconstructed off-chain.
         stride = 2
         pair_tabs = None
-        if hi_lo or (
-            mode == "split" and grid_mode in ("chunked", "segmented")
-        ):
+        if hi_lo or (mode == "split" and grid_mode == "segmented"):
             stride = 1
         elif mode == "split":
             for d in range(n_defs):
@@ -370,8 +363,6 @@ class PallasMatcher:
 
         SLAB = min(slab, L)
         while L % SLAB != 0:
-            SLAB //= 2
-        while LCC % SLAB != 0:  # chunked scan unrolls SLAB steps per slab
             SLAB //= 2
         n_slab = L // SLAB
         self.slab = SLAB
@@ -857,215 +848,6 @@ class PallasMatcher:
             hold_b = (1 - set_b) * (1 - reset_b)
             bwd_ref[:] = log_scan(hold_b, set_b, reverse=True)
 
-        # ---------------- chunked split-mode kernels ----------------
-        # Stream L in LCC-position chunks over a (batch, chunk) 2D grid;
-        # per-kernel carries live in scratch and persist across the
-        # sequentially-iterated chunk dimension (BASELINE configs[3]).
-        def scan_kernel_chunked(ctab_ref, raw_ref, chars_ref, states_ref,
-                                st_scr):
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                for d in range(n_defs):
-                    st_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
-
-            def class_of(c, cls0, terms, use_classes):
-                if not use_classes:
-                    return c
-                cls = jnp.full((TB,), cls0, jnp.int32)
-                for b_r, delta in terms:
-                    cls = cls + delta * (c >= b_r).astype(jnp.int32)
-                return cls
-
-            def onehot_cols(cls, kdim, tbl):
-                onehot_i = (
-                    cls[:, None]
-                    == jax.lax.broadcasted_iota(jnp.int32, (TB, kdim), 1)
-                )
-                if table_dtype == "int8":
-                    oh = onehot_i.astype(jnp.int8)
-                    t8 = (tbl - 128.0).astype(jnp.int8)
-                    return (
-                        jnp.dot(oh, t8, preferred_element_type=jnp.int32)
-                        + 128
-                    )
-                return jnp.dot(
-                    onehot_i.astype(jnp.bfloat16),
-                    tbl.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32,
-                ).astype(jnp.int32)
-
-            n_slab_c = LCC // SLAB
-            for d in range(n_defs):
-                use_classes, cls0, terms, ctab = class_info[d]
-                width = 2 * S if hi_lo else S
-                tbl = (
-                    ctab_ref[d][:, 0:width]
-                    if use_classes
-                    else raw_ref[d][:, 0:width]
-                ).astype(jnp.bfloat16)
-                kdim = tbl.shape[0]
-
-                def slab_body(t, s, d=d, tbl=tbl, use_classes=use_classes,
-                              cls0=cls0, terms=terms, kdim=kdim):
-                    base = t * SLAB
-                    c_slab = chars_ref[pl.ds(base, SLAB), :]
-                    cols = [
-                        onehot_cols(
-                            class_of(c_slab[j], cls0, terms, use_classes),
-                            kdim,
-                            tbl,
-                        )
-                        for j in range(SLAB)
-                    ]
-                    outs = []
-                    for j in range(SLAB):
-                        sel = (
-                            jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
-                            == s[:, None]
-                        ).astype(jnp.int32)
-                        if hi_lo:
-                            lo = jnp.sum(cols[j][:, 0:S] * sel, axis=-1)
-                            hi = jnp.sum(cols[j][:, S : 2 * S] * sel, axis=-1)
-                            s = lo + 256 * hi
-                        else:
-                            s = jnp.sum(cols[j] * sel, axis=-1)
-                        outs.append(s)
-                    states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
-                    return s
-
-                st_scr[d, :] = jax.lax.fori_loop(
-                    0, n_slab_c, slab_body, st_scr[d, :]
-                )
-
-        def tag_kernel_chunked(states_ref, lengths_ref, ids_ref, start_ref,
-                               endf_ref, prev_scr):
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                for d in range(n_defs):
-                    prev_scr[d, :] = jnp.full((TB,), firsts[d], jnp.int32)
-
-            lengths = lengths_ref[0, :]
-            base = l * LCC
-            pos = base + jax.lax.broadcasted_iota(jnp.int32, (LCC, TB), 0)
-            en = (pos < lengths[None, :]).astype(jnp.int32)
-            for d in range(n_defs):
-                nxt = states_ref[d]
-                prev = jnp.concatenate(
-                    [prev_scr[d, :][None, :], nxt[: LCC - 1]], axis=0
-                )
-                ids = jnp.zeros((LCC, TB), jnp.int32)
-                st = jnp.zeros((LCC, TB), jnp.int32)
-                ef = jnp.zeros((LCC, TB), jnp.int32)
-                for a, b, gid, s_flag, e_flag in pair_info[d]:
-                    m = ((prev == a) & (nxt == b)).astype(jnp.int32)
-                    ids = ids + gid * m
-                    if s_flag:
-                        st = st + m
-                    if e_flag:
-                        ef = ef + m
-                ids_ref[d] = ids * en
-                start_ref[d] = st * en
-                endf_ref[d] = ef * en
-                prev_scr[d, :] = nxt[LCC - 1]
-
-        def _log_scan_pair(a, b, n, reverse):
-            """Inclusive affine-map composition along axis 0 of [n, TB]
-            arrays; returns (A, B) so value[i] = A[i]*entry + B[i]."""
-            shift = 1
-            while shift < n:
-                if not reverse:
-                    a_prev = jnp.concatenate(
-                        [jnp.ones((shift, TB), jnp.int32), a[: n - shift]], 0
-                    )
-                    b_prev = jnp.concatenate(
-                        [jnp.zeros((shift, TB), jnp.int32), b[: n - shift]], 0
-                    )
-                else:
-                    a_prev = jnp.concatenate(
-                        [a[shift:], jnp.ones((shift, TB), jnp.int32)], 0
-                    )
-                    b_prev = jnp.concatenate(
-                        [b[shift:], jnp.zeros((shift, TB), jnp.int32)], 0
-                    )
-                a, b = a_prev * a, a * b_prev + b
-                shift *= 2
-            return a, b
-
-        def _sum_defs(ref):
-            acc = ref[0]
-            for d in range(1, n_defs):
-                acc = acc + ref[d]
-            return acc
-
-        def fsm_fwd_chunked(ids_ref, start_ref, endf_ref, fwd_ref, carry_scr):
-            # carry: [0] last mask value, [1] last ids_sum, [2] last endf_sum
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
-
-            ids_sum = _sum_defs(ids_ref)
-            st_sum = _sum_defs(start_ref)
-            ef_sum = _sum_defs(endf_ref)
-            prev_ids = jnp.concatenate(
-                [carry_scr[1, :][None, :], ids_sum[: LCC - 1]], 0
-            )
-            prev_ef = jnp.concatenate(
-                [carry_scr[2, :][None, :], ef_sum[: LCC - 1]], 0
-            )
-            changed = (prev_ids != ids_sum).astype(jnp.int32)
-            is_set = ((st_sum > 0) & (changed > 0)).astype(jnp.int32)
-            is_reset = (
-                (st_sum == 0) & (prev_ef > 0) & (changed > 0)
-            ).astype(jnp.int32)
-            hold = (1 - is_set) * (1 - is_reset)
-            A, Bv = _log_scan_pair(hold, is_set, LCC, reverse=False)
-            fwd = A * carry_scr[0, :][None, :] + Bv
-            fwd_ref[:] = fwd
-            carry_scr[0, :] = fwd[LCC - 1]
-            carry_scr[1, :] = ids_sum[LCC - 1]
-            carry_scr[2, :] = ef_sum[LCC - 1]
-
-        def fsm_bwd_chunked(ids_ref, start_ref, endf_ref, bwd_ref, carry_scr):
-            # reversed chunk order via index maps; carry: [0] entry mask,
-            # [1] ids_sum row 0 of the later chunk, [2] st_sum row 0
-            l = pl.program_id(1)
-
-            @pl.when(l == 0)
-            def _():
-                carry_scr[0, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[1, :] = jnp.zeros((TB,), jnp.int32)
-                carry_scr[2, :] = jnp.zeros((TB,), jnp.int32)
-
-            ids_sum = _sum_defs(ids_ref)
-            st_sum = _sum_defs(start_ref)
-            ef_sum = _sum_defs(endf_ref)
-            next_ids = jnp.concatenate(
-                [ids_sum[1:], carry_scr[1, :][None, :]], 0
-            )
-            next_st = jnp.concatenate(
-                [st_sum[1:], carry_scr[2, :][None, :]], 0
-            )
-            changed = (next_ids != ids_sum).astype(jnp.int32)
-            set_b = ((ef_sum > 0) & (changed > 0)).astype(jnp.int32)
-            reset_b = (
-                (ef_sum == 0) & (next_st > 0) & (changed > 0)
-            ).astype(jnp.int32)
-            hold_b = (1 - set_b) * (1 - reset_b)
-            A, Bv = _log_scan_pair(hold_b, set_b, LCC, reverse=True)
-            bwd = A * carry_scr[0, :][None, :] + Bv
-            bwd_ref[:] = bwd
-            carry_scr[0, :] = bwd[0]
-            carry_scr[1, :] = ids_sum[0]
-            carry_scr[2, :] = st_sum[0]
-
         _vmem_params = (
             None
             if interpret
@@ -1089,8 +871,14 @@ class PallasMatcher:
         LS = min(int(__import__("os").environ.get("H2R_SEGMENT", 4096)), L)
         while L % LS != 0:
             LS //= 2
-        while LS % SLAB != 0:
-            SLAB //= 2
+        # The segmented kernels need their own slab size: the flat/split
+        # kernel closures above capture SLAB by reference, so shrinking it
+        # here would silently leave them covering n_slab*SLAB < L positions
+        # (ADVICE r2: reproduced with H2R_SEGMENT=96).
+        SLAB_SEG = SLAB
+        while LS % SLAB_SEG != 0:
+            SLAB_SEG //= 2
+        assert L == n_slab * SLAB, "flat-kernel slab must tile L exactly"
         self.segment = LS
         n_seg = L // LS
 
@@ -1133,18 +921,18 @@ class PallasMatcher:
 
                 def slab_body(t, s2, d=d, tbl=tbl, use_classes=use_classes,
                               cls0=cls0, terms=terms, kdim=kdim):
-                    base = t * SLAB
-                    c_slab = chars_ref[pl.ds(n_defs + base, SLAB), :]
+                    base = t * SLAB_SEG
+                    c_slab = chars_ref[pl.ds(n_defs + base, SLAB_SEG), :]
                     cols = [
                         onehot_cols(
                             class_of(c_slab[j], cls0, terms, use_classes),
                             kdim,
                             tbl,
                         )
-                        for j in range(SLAB)
+                        for j in range(SLAB_SEG)
                     ]
                     outs = []
-                    for j in range(SLAB):
+                    for j in range(SLAB_SEG):
                         sel = (
                             jax.lax.broadcasted_iota(jnp.int32, (TB, S), 1)
                             == s2[0][:, None]
@@ -1157,13 +945,13 @@ class PallasMatcher:
                             nv = jnp.sum(cols[j] * sel, axis=-1)
                         s2 = nv[None, :]
                         outs.append(nv)
-                    states_ref[d, pl.ds(base, SLAB), :] = jnp.stack(outs, 0)
+                    states_ref[d, pl.ds(base, SLAB_SEG), :] = jnp.stack(outs, 0)
                     return s2
 
                 # init states ride as the first n_defs chars rows; the
                 # carry stays 2-D (probe_tpu35 h1)
                 jax.lax.fori_loop(
-                    0, LS // SLAB, slab_body, chars_ref[d : d + 1, :]
+                    0, LS // SLAB_SEG, slab_body, chars_ref[d : d + 1, :]
                 )
 
         def tag_kernel_seg(states_ref, lengths_ref, ids_ref, start_ref,
@@ -1403,71 +1191,6 @@ class PallasMatcher:
             bwd_tm = jnp.concatenate(bwd_segs, axis=0)
             return states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm
 
-        def make_scan_chunked(B):
-            return pl.pallas_call(
-                scan_kernel_chunked,
-                grid=(B // TB, n_lc),
-                in_specs=[
-                    pl.BlockSpec(tables_c.shape, lambda b, l: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec(tables_raw.shape, lambda b, l: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((LCC, TB), lambda b, l: (l, b),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (n_defs, LCC, TB), lambda b, l: (0, l, b),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32),
-                scratch_shapes=[pltpu.VMEM((n_defs, TB), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_vmem_params,
-            )
-
-        def make_tag_chunked(B):
-            return pl.pallas_call(
-                tag_kernel_chunked,
-                grid=(B // TB, n_lc),
-                in_specs=[
-                    pl.BlockSpec((n_defs, LCC, TB), lambda b, l: (0, l, b),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, TB), lambda b, l: (0, b),
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=[
-                    pl.BlockSpec((n_defs, LCC, TB), lambda b, l: (0, l, b),
-                                 memory_space=pltpu.VMEM)
-                ] * 3,
-                out_shape=[jax.ShapeDtypeStruct((n_defs, L, B), jnp.int32)] * 3,
-                scratch_shapes=[pltpu.VMEM((n_defs, TB), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_vmem_params,
-            )
-
-        def make_fsm_chunked(B, reverse):
-            rev3 = lambda b, l: (0, n_lc - 1 - l, b)
-            rev2 = lambda b, l: (n_lc - 1 - l, b)
-            fw3 = lambda b, l: (0, l, b)
-            fw2 = lambda b, l: (l, b)
-            return pl.pallas_call(
-                fsm_bwd_chunked if reverse else fsm_fwd_chunked,
-                grid=(B // TB, n_lc),
-                in_specs=[
-                    pl.BlockSpec((n_defs, LCC, TB),
-                                 rev3 if reverse else fw3,
-                                 memory_space=pltpu.VMEM)
-                ] * 3,
-                out_specs=pl.BlockSpec(
-                    (LCC, TB), rev2 if reverse else fw2,
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct((L, B), jnp.int32),
-                scratch_shapes=[pltpu.VMEM((3, TB), jnp.int32)],
-                interpret=interpret,
-                compiler_params=_vmem_params,
-            )
-
         tables_pair = jnp.asarray(
             pair_tabs if pair_tabs is not None else np.zeros((n_defs, 8, S), np.float32)
         )
@@ -1547,17 +1270,6 @@ class PallasMatcher:
                     fwd_tm,
                     bwd_tm,
                 ) = run_segmented(ctm, lengths, B)
-            elif mode == "split" and self.grid_mode == "chunked":
-                states_tm = make_scan_chunked(B)(tables_c, tables_raw, ctm)
-                ids_tm, start_tm, endf_tm = make_tag_chunked(B)(
-                    states_tm, lengths[None, :]
-                )
-                fwd_tm = make_fsm_chunked(B, reverse=False)(
-                    ids_tm, start_tm, endf_tm
-                )
-                bwd_tm = make_fsm_chunked(B, reverse=True)(
-                    ids_tm, start_tm, endf_tm
-                )
             elif mode == "split":
                 states_tm = make_scan(B)(tables_c, tables_raw, tables_pair, ctm)
                 ids_tm, start_tm, endf_tm = make_tag(B)(

@@ -277,6 +277,13 @@ def expand_rows(flat, starts, lengths, max_len: int):
     downstream matchers see the same batches while only the raw corpus
     bytes cross the host->device link (avg_len/max_len of the padded
     volume)."""
+    # Index math runs in int32 (JAX default without x64): a flat buffer at
+    # or beyond 2 GiB would silently wrap and gather garbage rows.
+    if flat.shape[0] >= 2**31:
+        raise ValueError(
+            f"flat corpus buffer of {flat.shape[0]} bytes exceeds int32 "
+            "indexing; use chunk_bytes < 2 GiB"
+        )
     pos = jnp.arange(max_len, dtype=jnp.int32)
     valid = pos[None, :] < lengths[:, None]
     idx = starts[:, None].astype(jnp.int32) + pos[None, :]

@@ -106,8 +106,29 @@ class ScanJob:
                         consumed = len(data)
                     else:
                         cut = data.rfind(b"\n")
-                        if cut < 0:  # a single line longer than the chunk
+                        if cut < 0:
+                            # A single line longer than the chunk. Never
+                            # split it mid-line (fragments could spuriously
+                            # match and inflate counters, ADVICE r2): keep
+                            # its first max_len+1 bytes (enough for
+                            # pack_lines/flat_line_index to truncate and
+                            # count it exactly once) and skip forward to
+                            # its newline.
+                            keep = self.max_len + 1
+                            head = data[:keep]
                             consumed = len(data)
+                            while True:
+                                more = f.read(self.chunk_bytes)
+                                if not more:
+                                    break
+                                nl = more.find(b"\n")
+                                take = len(more) if nl < 0 else nl + 1
+                                if len(head) < keep:
+                                    head += more[: min(take, keep - len(head))]
+                                consumed += take
+                                if nl >= 0:
+                                    break
+                            data = head
                         else:
                             data = data[: cut + 1]
                             consumed = cut + 1

@@ -190,7 +190,7 @@ def check_witness(
             if flag_change == 1 and int(states[d, i]) not in defs.accept_set:
                 errors.append(
                     f"acceptance: def {d} boundary at row {i}: state "
-                    f"{states[d,i]} != accepted {defs.allstr.accepted_state_val}"
+                    f"{states[d,i]} not in accept set {sorted(defs.accept_set)}"
                 )
     return errors
 

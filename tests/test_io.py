@@ -135,6 +135,44 @@ def test_scan_job_checkpoint_resume(tmp_path):
     assert out.matched * ref.strings == ref.matched * out.strings
 
 
+def test_scan_job_oversize_line_not_split(tmp_path):
+    """Regression (ADVICE r2): a line longer than chunk_bytes must be ONE
+    truncated row, not several fragments (fragments could spuriously match
+    and inflate strings/matched counters)."""
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.scan_jax import BatchMatcher
+    from halo2_regex_tpu.utils.jobs import ScanJob
+
+    from fixtures import CONFIGS
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=32
+    )
+    matcher = BatchMatcher(model)
+
+    # a giant junk line whose TAIL, if split at chunk boundaries, would
+    # start a fresh row that matches the from-header regex
+    big = b"x" * 250 + b"from:a@b.cd\r"
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_bytes(b"\n".join([b"from:ok@b.cd\r", big, b"nope"]) + b"\n")
+
+    job = ScanJob(
+        matcher, [str(corpus)], batch_size=8, chunk_bytes=64,
+        keep_newline=True,
+    )
+    out = job.run()
+    assert out.strings == 3  # one row per real line
+    assert out.matched == 1  # only the first line; the big line is junk
+    assert job.n_truncated == 1  # the big line, counted exactly once
+
+    # identical totals with a chunk size that does not split anything
+    ref = ScanJob(
+        matcher, [str(corpus)], batch_size=8, keep_newline=True
+    ).run()
+    assert (out.strings, out.matched) == (ref.strings, ref.matched)
+
+
 def test_pack_lines_keep_newline():
     # restores on-disk bytes: inner lines get their \n back, a final
     # unterminated line stays as-is (the email DFAs need the \r\n to

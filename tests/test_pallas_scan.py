@@ -98,8 +98,8 @@ def test_pallas_batch_padding(model3):
     assert_same(row, oracle)
 
 
-def test_pallas_chunked_grid(model3):
-    """Multiple L-chunks: scratch-carried state and reversed bwd pass."""
+def test_pallas_chunk_param_inert_in_batch_mode(model3):
+    """grid_mode="batch" forces whole-L blocks; a chunk argument is inert."""
     matcher = PallasMatcher(model3, batch_tile=8, chunk=16, interpret=True)
     chars, lengths = pack_batch(STRINGS3, MAX_LEN)
     res = matcher(chars, lengths)
@@ -138,17 +138,10 @@ def test_pallas_take_along_extract_mode(model3):
         assert_same(row, oracle)
 
 
-def test_pallas_chunked_mode(model3):
-    """The chunked (2D grid) mode stays bit-exact in interpret mode."""
-    matcher = PallasMatcher(
-        model3, batch_tile=8, chunk=16, interpret=True, grid_mode="chunked"
-    )
-    chars, lengths = pack_batch(STRINGS3[:4], MAX_LEN)
-    res = matcher(chars, lengths)
-    for i, s in enumerate(STRINGS3[:4]):
-        oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
-        row = res.map(lambda a: np.asarray(a)[i])
-        assert_same(row, oracle)
+def test_pallas_chunked_mode_removed(model3):
+    """grid_mode="chunked" was quarantined (Mosaic SIGABRT, r3): clear error."""
+    with pytest.raises(ValueError, match="chunked"):
+        PallasMatcher(model3, batch_tile=8, interpret=True, grid_mode="chunked")
 
 
 def test_pallas_fused_defs_mode(model12):
@@ -245,102 +238,6 @@ def test_pallas_odd_lengths(model3, L):
         assert_same(res.map(lambda a: np.asarray(a)[i]), oracle)
 
 
-# ---------------------------------------------------------------------------
-# Chunked split-mode grids (BASELINE configs[3]: long inputs streamed in
-# LCC-position chunks with scratch-carried state/FSM entries).
-# ---------------------------------------------------------------------------
-
-
-def test_chunked_split_matches_oracle(model3):
-    import os
-
-    os.environ["H2R_SPLIT_CHUNK"] = "16"
-    try:
-        m = PallasMatcher(
-            model3, batch_tile=4, interpret=True, grid_mode="chunked",
-            mode="split",
-        )
-        assert m.grid_mode == "chunked" and m.chunk_split == 16
-        chars, lengths = pack_batch(STRINGS3, MAX_LEN)
-        res = m(chars, lengths)
-        from halo2_regex_tpu.ops import reference as ref_ops
-
-        for i, s in enumerate(STRINGS3):
-            oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
-            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
-    finally:
-        del os.environ["H2R_SPLIT_CHUNK"]
-
-
-def test_chunked_split_two_defs(model12):
-    import os
-
-    os.environ["H2R_SPLIT_CHUNK"] = "32"
-    try:
-        m = PallasMatcher(
-            model12, batch_tile=4, interpret=True, grid_mode="chunked",
-            mode="split",
-        )
-        strings = [
-            b"email was meant for @y. Also for x.",
-            b"email was meant for @yajk. Also for swq.",
-            b"email was meant for @@",
-            b"",
-        ]
-        chars, lengths = pack_batch(strings, MAX_LEN)
-        res = m(chars, lengths)
-        from halo2_regex_tpu.ops import reference as ref_ops
-
-        for i, s in enumerate(strings):
-            oracle = ref_ops.match_substrs(model12.regex_defs, s, MAX_LEN)
-            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
-    finally:
-        del os.environ["H2R_SPLIT_CHUNK"]
-
-
-def test_chunked_hi_lo_large_dfa():
-    """>256-state model on the chunked path (the configs[3] shape, scaled
-    down for interpret mode)."""
-    import os
-
-    from halo2_regex_tpu.models.compiled import CompiledRegexModel
-    from halo2_regex_tpu.models.defs import AllstrRegexDef, RegexDefs
-    from halo2_regex_tpu.ops import reference as ref_ops
-
-    rng = np.random.default_rng(7)
-    S = 300
-    L = 64
-    allstr = AllstrRegexDef(
-        first_state_val=0, accepted_state_val=1, largest_state_val=S - 1
-    )
-    line = 3
-    for c in range(97, 103):
-        for s in range(S):
-            allstr.state_lookup[(c, s)] = (line, int(rng.integers(0, S)))
-            line += 1
-    model = CompiledRegexModel.from_defs(
-        [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
-    )
-    os.environ["H2R_SPLIT_CHUNK"] = "16"
-    try:
-        m = PallasMatcher(
-            model, batch_tile=4, interpret=True, grid_mode="chunked",
-            max_boundary_terms=96,
-        )
-        assert m.hi_lo and m.grid_mode == "chunked"
-        strings = [
-            rng.integers(97, 103, size=L).astype(np.uint8).tobytes()
-            for _ in range(4)
-        ]
-        chars, lengths = pack_batch(strings, L)
-        res = m(chars, lengths)
-        for i, s in enumerate(strings):
-            oracle = ref_ops.match_substrs(model.regex_defs, s, L)
-            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
-    finally:
-        del os.environ["H2R_SPLIT_CHUNK"]
-
-
 def test_split_int8_tables(model3):
     """int8 one-hot matmul tables (offset -128, re-added post-matmul) are
     bit-exact on the split path."""
@@ -357,8 +254,8 @@ def test_split_int8_tables(model3):
         assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
 
 
-def test_chunked_int8_hi_lo():
-    """int8 tables on the chunked >256-state path (configs[3] shape)."""
+def test_segmented_int8_hi_lo():
+    """int8 tables on the segmented >256-state path (configs[3] shape)."""
     import os
 
     from halo2_regex_tpu.models.compiled import CompiledRegexModel
@@ -378,10 +275,10 @@ def test_chunked_int8_hi_lo():
     model = CompiledRegexModel.from_defs(
         [RegexDefs(allstr=allstr, substrs=[])], max_chars_size=L
     )
-    os.environ["H2R_SPLIT_CHUNK"] = "16"
+    os.environ["H2R_SEGMENT"] = "16"
     try:
         m = PallasMatcher(
-            model, batch_tile=4, interpret=True, grid_mode="chunked",
+            model, batch_tile=4, interpret=True, grid_mode="segmented",
             table_dtype="int8",
         )
         strings = [
@@ -394,7 +291,7 @@ def test_chunked_int8_hi_lo():
             oracle = ref_ops.match_substrs(model.regex_defs, s, L)
             assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
     finally:
-        del os.environ["H2R_SPLIT_CHUNK"]
+        del os.environ["H2R_SEGMENT"]
 
 
 def test_segmented_split_matches_oracle(model3):
@@ -414,6 +311,35 @@ def test_segmented_split_matches_oracle(model3):
         for i, s in enumerate(STRINGS3):
             oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
             assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+    finally:
+        del os.environ["H2R_SEGMENT"]
+
+
+def test_segmented_non_pow2_segment_stays_exact(model3):
+    """Regression (ADVICE r2): a non-power-of-two H2R_SEGMENT used to shrink
+    the shared SLAB after the flat/split kernels closed over it, silently
+    leaving tail positions unscanned in the DEFAULT (batch) matcher."""
+    import os
+
+    # 48 does not divide MAX_LEN=64, so LS collapses to 1: the old code then
+    # shrank SLAB to 1 and the flat kernel covered 8 of 64 positions.
+    os.environ["H2R_SEGMENT"] = "48"
+    try:
+        m = PallasMatcher(model3, batch_tile=8, interpret=True)
+        chars, lengths = pack_batch(STRINGS3, MAX_LEN)
+        res = m(chars, lengths)
+        for i, s in enumerate(STRINGS3):
+            oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+            assert_same(res.map(lambda a, i=i: np.asarray(a)[i]), oracle)
+        # and the segmented matcher itself still tiles L correctly
+        m2 = PallasMatcher(
+            model3, batch_tile=4, interpret=True, grid_mode="segmented",
+            mode="split",
+        )
+        res2 = m2(chars, lengths)
+        for i, s in enumerate(STRINGS3):
+            oracle = ref_ops.match_substrs(model3.regex_defs, s, MAX_LEN)
+            assert_same(res2.map(lambda a, i=i: np.asarray(a)[i]), oracle)
     finally:
         del os.environ["H2R_SEGMENT"]
 

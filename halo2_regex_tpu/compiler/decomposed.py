@@ -301,16 +301,25 @@ class DecomposedRegexConfig:
             out.append("".join(lines))
         return out
 
-    def gen_regex_files(self, allstr_file_path, substr_file_pathes) -> None:
+    def gen_regex_files(
+        self, allstr_file_path, substr_file_pathes, multi_accept: bool = False
+    ) -> None:
         """Write the allstr text table and one substr text table per public
-        part, byte-identically to the reference (mod.rs:67-307)."""
-        nodes = self.compile_dfa()
-        warning = self.warn_if_multi_accept(nodes)
-        if warning:
-            import warnings
+        part, byte-identically to the reference (mod.rs:67-307).
 
-            warnings.warn(warning, stacklevel=2)
-        Path(allstr_file_path).write_text(dfa_to_regex_def_text(nodes))
+        ``multi_accept`` switches line 1 to the opt-in accepting-state-SET
+        format extension (no longer reference-byte-identical; readers parse
+        both forms)."""
+        nodes = self.compile_dfa()
+        if not multi_accept:
+            warning = self.warn_if_multi_accept(nodes)
+            if warning:
+                import warnings
+
+                warnings.warn(warning, stacklevel=2)
+        Path(allstr_file_path).write_text(
+            dfa_to_regex_def_text(nodes, multi_accept=multi_accept)
+        )
         for idx, text in enumerate(self._render_substr_texts(nodes)):
             Path(substr_file_pathes[idx]).write_text(text)
 

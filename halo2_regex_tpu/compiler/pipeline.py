@@ -50,7 +50,7 @@ def get_max_state(nodes: List[MinDfaNode]) -> int:
     return max_state
 
 
-def dfa_to_regex_def_text(nodes: List[MinDfaNode]) -> str:
+def dfa_to_regex_def_text(nodes: List[MinDfaNode], multi_accept: bool = False) -> str:
     """Serialize the DFA to the allstr text-table format
     (js_caller.rs:127-157):
 
@@ -59,12 +59,21 @@ def dfa_to_regex_def_text(nodes: List[MinDfaNode]) -> str:
         line 2: largest_state
         line 3+: "<cur> <next> <byte>" in (node order, BTreeMap key order,
                  char-within-key order)
+
+    ``multi_accept`` (opt-in format EXTENSION, not byte-compatible with the
+    reference): line 1 carries every accepting state, space separated —
+    fixing the reference's optional-tail footgun (defs.rs:31-33).
     """
     accepted_state = get_accepted_state(nodes)
     if accepted_state is None:
         raise ValueError("No accepted state")
     max_state = get_max_state(nodes)
-    out = ["0", str(accepted_state), str(max_state)]
+    if multi_accept:
+        accepts = [i for i, n in enumerate(nodes) if n.type == "accept"]
+        line1 = " ".join(str(a) for a in accepts)
+    else:
+        line1 = str(accepted_state)
+    out = ["0", line1, str(max_state)]
     for i, n in enumerate(nodes):
         for key, nxt in sorted_edge_items(n.edges):
             for ch in edge_key_chars(key):

@@ -39,6 +39,11 @@ class AllstrRegexDef:
     first_state_val: int = 0
     accepted_state_val: int = 0
     largest_state_val: int = 0
+    # Opt-in multi-accept table-format extension: line 1 may carry a
+    # space-separated accepting-state LIST (the reference format holds
+    # exactly one, defs.rs:31-33, silently dropping the rest for DFAs with
+    # optional tails like `(x)?`). None = plain reference file.
+    accept_states_ext: Optional[List[int]] = None
 
     @classmethod
     def read_from_text(cls, file_path) -> "AllstrRegexDef":
@@ -59,6 +64,8 @@ class AllstrRegexDef:
                 out.first_state_val = elements[0]
             elif idx == 1:
                 out.accepted_state_val = elements[0]
+                if len(elements) > 1:  # multi-accept extension
+                    out.accept_states_ext = list(elements)
             elif idx == 2:
                 out.largest_state_val = elements[0]
             else:
@@ -70,7 +77,9 @@ class AllstrRegexDef:
         rows = sorted(self.state_lookup.items(), key=lambda kv: kv[1][0])
         lines = [
             str(self.first_state_val),
-            str(self.accepted_state_val),
+            " ".join(str(a) for a in self.accept_states_ext)
+            if self.accept_states_ext is not None
+            else str(self.accepted_state_val),
             str(self.largest_state_val),
         ]
         for (char, cur), (_, nxt) in rows:
@@ -148,6 +157,8 @@ class RegexDefs:
     def accept_set(self) -> List[int]:
         if self.accept_states is not None:
             return list(self.accept_states)
+        if self.allstr.accept_states_ext is not None:
+            return list(self.allstr.accept_states_ext)
         return [self.allstr.accepted_state_val]
 
     @property

@@ -45,38 +45,45 @@ def _best_matcher(model, batch=0):
     return best_matcher(model, backend=backend)
 
 
-def _throughput(matcher, chars, lengths, iters):
-    """Per-batch device time via K-chained jit (relay-safe: inputs uploaded
-    once, results fetched as a scalar; see utils.profiling.benchmark_chained
-    and docs/PERF.md on why naive loops mis-measure here)."""
+def _throughput(matcher, chars, lengths, iters, with_estimator=False):
+    """Per-batch device time via the K-outputs slope (relay-safe: inputs
+    uploaded once, results fetched as a scalar; see
+    utils.profiling.benchmark_chained and docs/PERF.md on why naive loops
+    mis-measure here).
+
+    DCE-proof (round 3): every iteration's FULL output pytree is returned
+    from the jit, so XLA materializes all witness columns each iteration
+    (the old mask-only chain let XLA dead-code-eliminate the rest), and
+    lengths are perturbed per iteration so length-derived work is not
+    loop-hoisted.  ``with_estimator`` additionally returns which estimator
+    produced the number: "k_slope" (the real measurement) or "k_avg"
+    (fetch-dominated fallback after three non-positive slopes — a much
+    worse, upper-bound estimator)."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     chars_j = jnp.asarray(chars, jnp.uint8)
     lengths_j = jnp.asarray(lengths, jnp.int32)
 
     def make(K):
         @jax.jit
-        def f(c):
-            out = None
-            for _ in range(K):
-                out = matcher._run(c, lengths_j)["mask"]
-                dep = (out[0, 0] & 1).astype(jnp.uint8)
-                c = c ^ dep
-            return out
+        def f(c, ln):
+            outs = []
+            for i in range(K):
+                outs.append(matcher._run(c ^ np.uint8(i), ln ^ i))
+            return outs
 
         return f
 
     K = max(2, min(iters, 5))
     f1, fk = make(1), make(K)
     for f in (f1, fk):
-        np.asarray(f(chars_j).ravel()[:1])
+        np.asarray(jax.tree.leaves(f(chars_j, lengths_j))[0].ravel()[:1])
 
     def t(f, n=4):
         t0 = time.perf_counter()
         for _ in range(n):
-            np.asarray(f(chars_j).ravel()[:1])
+            np.asarray(jax.tree.leaves(f(chars_j, lengths_j))[0].ravel()[:1])
         return (time.perf_counter() - t0) / n
 
     # Relay noise can make the K-slope non-positive (the K=1 window ran
@@ -88,8 +95,9 @@ def _throughput(matcher, chars, lengths, iters):
     for _ in range(3):
         slope = (t(fk) - t(f1)) / (K - 1)
         if slope > 1e-7:
-            return slope
-    return t(fk) / K
+            return (slope, "k_slope") if with_estimator else slope
+    dt = t(fk) / K
+    return (dt, "k_avg") if with_estimator else dt
 
 
 def bench0(quick):
@@ -124,13 +132,15 @@ def bench1(quick):
     for i in range(B):
         chars[i, : len(base)] = bytearray(base)
     lengths = np.full((B,), len(base), np.int32)
-    dt = _throughput(matcher, chars, lengths, iters=3 if quick else 10)
+    dt, est = _throughput(
+        matcher, chars, lengths, iters=3 if quick else 10, with_estimator=True
+    )
     from halo2_regex_tpu.utils.profiling import result_nbytes
 
     nbytes = result_nbytes(matcher(chars, lengths))
     _report(
         "config1_combined_extraction", backend=backend, batch=B,
-        bytes_per_sec=B * 1024 / dt,
+        bytes_per_sec=B * 1024 / dt, estimator=est,
         witness_rows_per_sec=B * 1024 / dt,
         witness_bytes_per_sec=nbytes / dt,
         witness_bytes_per_input_byte=nbytes / (B * 1024),
@@ -150,13 +160,35 @@ def bench2(quick):
     rng = np.random.default_rng(0)
     chars = rng.integers(32, 127, size=(B, 1024)).astype(np.uint8)
     lengths = np.full((B,), 1024, np.int32)
-    dt = _throughput(matcher, chars, lengths, iters=3 if quick else 10)
+    # Same sampling discipline as the headline bench.py: several K-slope
+    # samples across spread-out windows, median reported (with best and
+    # the sample list), so the two artifacts are directly comparable.
+    n_reps = 2 if quick else int(os.environ.get("H2R_SUITE_REPEATS", 6))
+    gap = 0 if quick else float(os.environ.get("H2R_SUITE_GAP_SEC", 10))
+    samples = []
+    est = "k_slope"
+    for rep in range(n_reps):
+        dt, e = _throughput(
+            matcher, chars, lengths, iters=3 if quick else 5,
+            with_estimator=True,
+        )
+        if e == "k_slope":
+            samples.append(dt)
+        if gap and rep < n_reps - 1:
+            time.sleep(gap)
+    if not samples:
+        est = "k_avg"
+        samples = [dt]
+    dt = float(np.median(samples))
     from halo2_regex_tpu.utils.profiling import result_nbytes
 
     nbytes = result_nbytes(matcher(chars, lengths))
     _report(
         "config2_email_corpus", backend=backend, batch=B,
-        bytes_per_sec=B * 1024 / dt,
+        bytes_per_sec=B * 1024 / dt, estimator=est,
+        bytes_per_sec_best=B * 1024 / min(samples),
+        n_samples=len(samples),
+        samples_ms=[round(x * 1e3, 3) for x in samples],
         witness_rows_per_sec=B * 1024 / dt,
         witness_bytes_per_sec=nbytes / dt,
         witness_bytes_per_input_byte=nbytes / (B * 1024),
@@ -204,10 +236,10 @@ def bench3(quick):
     B = 4 if quick else 64
     chars = rng.integers(32, 127, size=(B, L)).astype(np.uint8)
     lengths = np.full((B,), L, np.int32)
-    dt = _throughput(matcher, chars, lengths, iters=4)
+    dt, est = _throughput(matcher, chars, lengths, iters=4, with_estimator=True)
     _report(
         "config3_large_dfa_stress", backend=backend, n_states=S, input_len=L,
-        bytes_per_sec=B * L / dt, sec_per_batch=dt,
+        bytes_per_sec=B * L / dt, sec_per_batch=dt, estimator=est,
     )
 
     # Structured ~1K-state stress: a 200-word dictionary alternation whose
@@ -252,73 +284,132 @@ def bench3(quick):
             pass
     if sm is None:
         sm, sbackend = BatchMatcher(smodel), "xla"
-    sdt = _throughput(sm, schars, slengths, iters=3)
+    sdt, sest = _throughput(sm, schars, slengths, iters=3, with_estimator=True)
     n_live = (
         len(sm.circuits[0].live_states) if sbackend == "bitplane" else S
     )
     _report(
         "config3_structured_stress", backend=sbackend, n_live_states=n_live,
         input_len=1024, batch=Bs, bytes_per_sec=Bs * 1024 / sdt,
-        sec_per_batch=sdt,
+        sec_per_batch=sdt, estimator=sest,
     )
 
 
 def bench4(quick):
-    """Data-parallel scaling efficiency across the device mesh."""
+    """Data-parallel scaling efficiency across the device mesh.
+
+    On a single real device (the driver's one-chip relay), the honest
+    proxy is NOT a devices=1 tautology: this re-executes itself in a
+    clean subprocess on a virtual 8-device CPU mesh and reports that
+    sweep (real multi-chip scaling remains unmeasurable here — BASELINE's
+    2-host target needs hardware; SCALING.md documents the gap)."""
     import jax
+
+    n = len(jax.devices())
+    if n == 1:
+        import subprocess
+
+        env = dict(os.environ)
+        # the axon sitecustomize must NOT leak into the child: it overrides
+        # JAX_PLATFORMS and grabs the (single) TPU tunnel, hanging both
+        env["PYTHONPATH"] = os.pathsep.join(
+            p
+            for p in env.get("PYTHONPATH", "").split(os.pathsep)
+            if p and ".axon_site" not in p
+        )
+        env["JAX_PLATFORMS"] = "cpu"
+        xla = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in xla:
+            env["XLA_FLAGS"] = (
+                xla + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        cmd = [sys.executable, os.path.abspath(__file__), "--configs", "4"]
+        if quick:
+            cmd.append("--quick")
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, timeout=3600
+        )
+        passed = False
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                passed = True
+        if not passed:
+            _report(
+                "config4_scaling",
+                error=f"virtual-mesh subprocess failed: {out.stderr[-200:]}",
+            )
+        return
 
     from halo2_regex_tpu.models import zoo
     from halo2_regex_tpu.ops.scan_jax import BatchMatcher
     from halo2_regex_tpu.parallel.data_parallel import DistributedMatcher
     from halo2_regex_tpu.parallel.mesh import make_mesh
 
-    n = len(jax.devices())
     model = zoo.email_headers_model(max_chars_size=256, headers=("from",))
-    B = 64 * n
-    rng = np.random.default_rng(0)
-    chars = rng.integers(32, 127, size=(B, 256)).astype(np.uint8)
-    lengths = np.full((B,), 256, np.int32)
-
-    # single device, one shard's worth (the real-hardware scaling metric:
-    # n chips should do n shards in the same time one chip does one)
     bm = BatchMatcher(model)
-    single_shard = _throughput(bm, chars[: B // n], lengths[: B // n], iters=5)
-    # single device, the FULL batch (the virtual-mesh metric: on host-CPU
-    # virtual devices all "chips" share the same cores, so the only honest
-    # figure is parallelization overhead — same total work, mesh vs not)
-    single_full = _throughput(bm, chars, lengths, iters=5)
-
-    if n == 1:
-        _report("config4_scaling", devices=1, efficiency=1.0,
-                bytes_per_sec=B // n * 256 / single_shard)
-        return
     mesh = make_mesh()
     dm = DistributedMatcher(model, mesh)
+    virtual = jax.devices()[0].platform == "cpu"
+    rng = np.random.default_rng(0)
 
-    def run(c, l):
-        r, _ = dm(c, l)
-        return r
+    # Sweep per-shard batch shapes: shard_map overhead amortizes with
+    # shard size, so the efficiency CURVE is the honest artifact
+    # (VERDICT r2: one tiny shape said only overhead_efficiency=0.24).
+    shard_shapes = [16, 64, 256] if quick else [64, 256, 1024]
+    sweep = []
+    for b_shard in shard_shapes:
+        B = b_shard * n
+        chars = rng.integers(32, 127, size=(B, 256)).astype(np.uint8)
+        lengths = np.full((B,), 256, np.int32)
+        # single device, one shard's worth (the real-hardware scaling
+        # metric: n chips should do n shards in the time one does one)
+        single_shard = _throughput(
+            bm, chars[: B // n], lengths[: B // n], iters=5
+        )
+        # single device, the FULL batch (the virtual-mesh metric: on
+        # host-CPU virtual devices all "chips" share the same cores, so
+        # the only honest figure is parallelization overhead — same total
+        # work, mesh vs not)
+        single_full = _throughput(bm, chars, lengths, iters=5)
 
-    out = run(chars, lengths)
-    jax.block_until_ready(out.mask)
-    t0 = time.perf_counter()
-    iters = 5
-    for _ in range(iters):
+        def run(c, l):
+            r, _ = dm(c, l)
+            return r
+
         out = run(chars, lengths)
-    jax.block_until_ready(out.mask)
-    multi = (time.perf_counter() - t0) / iters
-    import jax as _jax
-
-    virtual = _jax.devices()[0].platform == "cpu"
+        jax.block_until_ready(out.mask)
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            out = run(chars, lengths)
+        jax.block_until_ready(out.mask)
+        multi = (time.perf_counter() - t0) / iters
+        sweep.append(
+            dict(
+                batch_per_shard=b_shard,
+                single_shard_sec=single_shard,
+                single_full_sec=single_full,
+                full_mesh_sec=multi,
+                efficiency_vs_single_shard=single_shard / multi,
+                overhead_efficiency=single_full / multi,
+                bytes_per_sec=B * 256 / multi,
+            )
+        )
     _report(
-        "config4_scaling", devices=n, virtual_mesh=virtual,
-        single_shard_sec=single_shard, single_full_sec=single_full,
-        full_mesh_sec=multi,
-        # ideal on real chips: n devices do n shards in single_shard time
-        efficiency_vs_single_shard=single_shard / multi,
-        # shard_map overhead on shared-silicon virtual meshes
-        overhead_efficiency=single_full / multi,
-        bytes_per_sec=B * 256 / multi,
+        "config4_scaling",
+        devices=n,
+        virtual_mesh=virtual,
+        sweep=sweep,
+        # headline row: the largest shard shape (closest to production)
+        **{
+            k: sweep[-1][k]
+            for k in (
+                "efficiency_vs_single_shard",
+                "overhead_efficiency",
+                "bytes_per_sec",
+            )
+        },
     )
 
 

@@ -1191,6 +1191,36 @@ class PallasMatcher:
             bwd_tm = jnp.concatenate(bwd_segs, axis=0)
             return states_tm, ids_tm, start_tm, endf_tm, fwd_tm, bwd_tm
 
+        def scan_states_tm(ctm, init, B):
+            """Per-position states [n_defs, L, B] scanned from PER-STRING
+            initial states ``init`` [n_defs, B] (instead of the model's
+            first states) — the per-shard hook for sequence-sharded /
+            speculative scanning (parallel/seq_parallel.py): the segmented
+            kernels already thread carries through their input rows, so an
+            external entry state plugs in for free.  Requires a
+            mode="split", grid_mode="segmented" matcher."""
+            if self.grid_mode != "segmented":
+                raise ValueError(
+                    "scan_states_tm needs grid_mode='segmented' "
+                    f"(got {self.grid_mode!r})"
+                )
+            scan_f = make_scan_seg(B)
+            segs = []
+            cur = jnp.asarray(init, jnp.int32)
+            for si in range(n_seg):
+                seg = scan_f(
+                    tables_c,
+                    tables_raw,
+                    jnp.concatenate(
+                        [cur, ctm[si * LS : (si + 1) * LS]], axis=0
+                    ),
+                )
+                segs.append(seg)
+                cur = seg[:, LS - 1, :]
+            return jnp.concatenate(segs, axis=1)
+
+        self.scan_states_tm = scan_states_tm
+
         tables_pair = jnp.asarray(
             pair_tabs if pair_tabs is not None else np.zeros((n_defs, 8, S), np.float32)
         )

@@ -138,9 +138,11 @@ def _local_affine_fsm(set_f, reset_f, reverse: bool):
     return (As.T, Bs.T), (ta, tb)
 
 
-def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
-    """shard_map body: chars [B, Ls] local, lengths [B] replicated along seq,
-    offsets: scalar global start of this shard (computed from axis index)."""
+def _witness_from_states(arrays, n_defs, chars, lengths, entries, afters):
+    """Shared shard-local witness emission: given each def's entry state
+    [B] and per-position after-states [B, Ls], compute ids/flags/masks/
+    acceptance with the cross-shard halo exchanges.  Used by both the
+    exact (map-composition) and speculative sequence-sharded matchers."""
     B, Ls = chars.shape
     S = arrays["transition"].shape[-1]
     seq_idx = jax.lax.axis_index(SEQ_AXIS)
@@ -149,7 +151,6 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
     enable = (pos[None, :] < lengths[:, None]).astype(jnp.int32)
     chars_i32 = chars.astype(jnp.int32) * enable
 
-    per_def = {}
     ids_sum = jnp.zeros((B, Ls), jnp.int32)
     is_start_sum = jnp.zeros((B, Ls), jnp.int32)
     is_end_sum_sh = jnp.zeros((B, Ls), jnp.int32)  # shifted end flags
@@ -160,32 +161,8 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
     start_all = []
     endf_all = []
     for d in range(n_defs):
-        t = arrays["transition"][d]
-        t_flat = t.reshape(-1)
-        c_t = chars.astype(jnp.int32).T
-
-        # Pass 1: local composed map, tracked as the image of every state.
-        def map_step(m, c):
-            nm = jnp.take(t_flat, c[:, None] * S + m)
-            return nm, None
-
-        iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
-        local_map, _ = jax.lax.scan(map_step, iota, c_t)
-
-        # Entry map = exclusive prefix of earlier shards' maps.
-        entry_map = _exclusive_prefix_compose(
-            local_map, SEQ_AXIS, _compose_maps, iota
-        )
+        entry_state, after = entries[d], afters[d]
         first = arrays["first_states"][d]
-        entry_state = entry_map[:, first]
-
-        # Pass 2: rescan from the entry state.
-        def state_step(s, c):
-            ns = jnp.take(t_flat, c * S + s)
-            return ns, ns
-
-        _, seq_states = jax.lax.scan(state_step, entry_state, c_t)
-        after = seq_states.T  # [B, Ls] state after each local byte
         prev = jnp.concatenate([entry_state[:, None], after[:, :-1]], axis=1)
 
         sub_flat = arrays["substr_id_table"][d].reshape(-1)
@@ -199,10 +176,8 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
         is_end_unshifted = jnp.take(en_flat, ids_d * Ssub + after).astype(jnp.int32)
         is_end_d = _shift_right(is_end_unshifted, SEQ_AXIS)
 
-        # final/acceptance: state at global position lengths-1 ... the final
-        # state is after[b, lengths[b]-1] on the owning shard; compute via
-        # total map instead: total = compose(all shards) applied to first.
-        # lengths may be mid-shard: clamp local index.
+        # final/acceptance: state at global position lengths-1; lengths may
+        # be mid-shard, so the owning shard contributes via psum.
         local_final_idx = jnp.clip(lengths - 1 - start, 0, Ls - 1)
         cand = jnp.take_along_axis(after, local_final_idx[:, None], axis=1)[:, 0]
         owns = (lengths - 1 >= start) & (lengths - 1 < start + Ls)
@@ -286,6 +261,208 @@ def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
         has_dead=has_dead_arr,
         match_ok=match_ok,
     )
+
+
+def _seq_scan_shard(arrays, n_defs, first_len, chars, lengths, offsets):
+    """shard_map body (EXACT scheme): per-shard composed transition MAPS
+    (n_live x per-shard work — correct for any DFA, incl. adversarial
+    random tables that never resynchronize), exclusive-prefix composed
+    across shards, then a rescan from the exact entry state."""
+    B, Ls = chars.shape
+    S = arrays["transition"].shape[-1]
+    entries = []
+    afters = []
+    c_t = chars.astype(jnp.int32).T
+    for d in range(n_defs):
+        t_flat = arrays["transition"][d].reshape(-1)
+
+        # Pass 1: local composed map, tracked as the image of every state.
+        def map_step(m, c, t_flat=t_flat):
+            nm = jnp.take(t_flat, c[:, None] * S + m)
+            return nm, None
+
+        iota = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32), (B, S))
+        local_map, _ = jax.lax.scan(map_step, iota, c_t)
+
+        # Entry map = exclusive prefix of earlier shards' maps.
+        entry_map = _exclusive_prefix_compose(
+            local_map, SEQ_AXIS, _compose_maps, iota
+        )
+        entry_state = entry_map[:, arrays["first_states"][d]]
+
+        # Pass 2: rescan from the entry state.
+        def state_step(s, c, t_flat=t_flat):
+            ns = jnp.take(t_flat, c * S + s)
+            return ns, ns
+
+        _, seq_states = jax.lax.scan(state_step, entry_state, c_t)
+        entries.append(entry_state)
+        afters.append(seq_states.T)
+    return _witness_from_states(arrays, n_defs, chars, lengths, entries, afters)
+
+
+def _xla_shard_scan(arrays, n_defs):
+    """Default per-shard scan hook: lax.scan from given entries.
+    fn(chars [B, Ls] u8, entries [n_defs, B]) -> after [n_defs, B, Ls]."""
+    S = arrays["transition"].shape[-1]
+
+    def fn(chars, entries):
+        c_t = chars.astype(jnp.int32).T
+        outs = []
+        for d in range(n_defs):
+            t_flat = arrays["transition"][d].reshape(-1)
+
+            def state_step(s, c, t_flat=t_flat):
+                ns = jnp.take(t_flat, c * S + s)
+                return ns, ns
+
+            _, seq_states = jax.lax.scan(state_step, entries[d], c_t)
+            outs.append(seq_states.T)
+        return jnp.stack(outs, axis=0)
+
+    return fn
+
+
+def _spec_scan_shard(arrays, n_defs, per_shard_scan, chars, lengths):
+    """shard_map body (SPECULATIVE scheme, docs/ROADMAP.md #7 /
+    arXiv:1210.5093): every shard scans ONCE from a speculated entry state
+    (the DFA's first state — exact for shard 0, a resync guess elsewhere),
+    the (speculated, actual-exit) boundary states are exchanged, and the
+    loop repeats only until entries reach the global fixed point — one
+    extra round when the DFA resynchronizes quickly (email-style scanning
+    models), at most n_seq rounds for adversarial tables (always exact).
+    Per-shard work is 1x (vs the exact scheme's n_live x map composition),
+    and the scan hook is pluggable (XLA scan / segmented Pallas kernel)."""
+    B, Ls = chars.shape
+    n = jax.lax.axis_size(SEQ_AXIS)
+    idx = jax.lax.axis_index(SEQ_AXIS)
+    firsts = jnp.broadcast_to(
+        jnp.asarray(arrays["first_states"], jnp.int32)[:, None], (n_defs, B)
+    )
+    perm_fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def body(carry):
+        entries, _after, _changed, rounds = carry
+        after = per_shard_scan(chars, entries)  # [n_defs, B, Ls]
+        exits = after[:, :, -1]
+        prev_exit = jax.lax.ppermute(exits, SEQ_AXIS, perm=perm_fwd)
+        new_entries = jnp.where(idx == 0, firsts, prev_exit)
+        changed = jax.lax.psum(
+            (new_entries != entries).any().astype(jnp.int32), SEQ_AXIS
+        )
+        return new_entries, after, changed, rounds + 1
+
+    def cond(carry):
+        return carry[2] > 0
+
+    init_after = jnp.zeros((n_defs, B, Ls), jnp.int32)
+    entries, after, _, rounds = jax.lax.while_loop(
+        cond, body, (firsts, init_after, jnp.int32(1), jnp.int32(0))
+    )
+    # At exit changed == 0: `after` was scanned from entries equal to the
+    # final fixed point, so it is the exact per-position state set.
+    out = _witness_from_states(
+        arrays,
+        n_defs,
+        chars,
+        lengths,
+        [entries[d] for d in range(n_defs)],
+        [after[d] for d in range(n_defs)],
+    )
+    out["spec_rounds"] = jnp.broadcast_to(rounds, (1,))
+    return out
+
+
+_SEQ_OUT_SPECS = dict(
+    enable=P(DATA_AXIS, SEQ_AXIS),
+    states_after=P(DATA_AXIS, None, SEQ_AXIS),
+    substr_ids_per_def=P(DATA_AXIS, None, SEQ_AXIS),
+    is_start_per_def=P(DATA_AXIS, None, SEQ_AXIS),
+    endf_per_def=P(DATA_AXIS, None, SEQ_AXIS),
+    substr_id_sum=P(DATA_AXIS, SEQ_AXIS),
+    is_start_sum=P(DATA_AXIS, SEQ_AXIS),
+    is_end_sum=P(DATA_AXIS, SEQ_AXIS),
+    fwd_mask=P(DATA_AXIS, SEQ_AXIS),
+    bwd_mask=P(DATA_AXIS, SEQ_AXIS),
+    mask=P(DATA_AXIS, SEQ_AXIS),
+    masked_characters=P(DATA_AXIS, SEQ_AXIS),
+    all_substr_ids=P(DATA_AXIS, SEQ_AXIS),
+    accepted=P(DATA_AXIS, None),
+    has_dead=P(DATA_AXIS, None),
+    match_ok=P(DATA_AXIS),
+)
+
+
+class SpeculativeSeqMatcher:
+    """Sequence-sharded matcher using SPECULATIVE boundary resolution
+    (docs/ROADMAP.md #7): each shard scans once from a speculated entry,
+    boundary states are exchanged, and only on mismatch does another round
+    run — 1x per-shard work for resyncing DFAs vs the exact scheme's
+    n_live x map composition.  Always exact (fixed-point iteration, at
+    most n_seq rounds).  ``per_shard`` picks the shard-local scan kernel:
+
+      "xla"    — lax.scan (any platform; the dryrun/virtual-mesh path)
+      "pallas" — the segmented split-Pallas kernels via
+                 PallasMatcher.scan_states_tm (TPU; interpret=True for
+                 virtual meshes), composing BASELINE configs[3]'s
+                 long-input kernels with multi-chip sequence sharding.
+
+    Outputs carry ``spec_rounds``: how many scan rounds the fixed point
+    took (1 = speculation was immediately right everywhere).
+    """
+
+    def __init__(
+        self,
+        model: CompiledRegexModel,
+        mesh: Mesh,
+        per_shard: str = "xla",
+        pallas_kwargs: dict | None = None,
+    ):
+        self.model = model
+        self.mesh = mesh
+        arrays = _model_arrays(model)
+        n_defs = model.n_defs
+        seq = mesh.shape[SEQ_AXIS]
+        Ls = model.max_chars_size // seq
+
+        if per_shard == "pallas":
+            from ..ops.pallas_scan import PallasMatcher
+            import dataclasses
+
+            shard_model = dataclasses.replace(model, max_chars_size=Ls)
+            pm = PallasMatcher(
+                shard_model,
+                mode="split",
+                grid_mode="segmented",
+                **(pallas_kwargs or {}),
+            )
+
+            def scan_hook(chars, entries):
+                ctm = chars.astype(jnp.int32).T  # [Ls, B] time-major
+                states_tm = pm.scan_states_tm(ctm, entries, chars.shape[0])
+                return states_tm.transpose(0, 2, 1)  # [n_defs, B, Ls]
+
+        elif per_shard == "xla":
+            scan_hook = _xla_shard_scan(arrays, n_defs)
+        else:
+            raise ValueError(f"per_shard={per_shard!r}: expected xla/pallas")
+        self.per_shard = per_shard
+
+        fn = partial(_spec_scan_shard, arrays, n_defs, scan_hook)
+        out_specs = dict(_SEQ_OUT_SPECS, spec_rounds=P(None))
+        sharded = shard_map(
+            fn,
+            mesh=mesh,
+            in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS)),
+            out_specs=out_specs,
+            check_vma=False,
+        )
+        self._run = jax.jit(sharded)
+
+    def __call__(self, chars, lengths):
+        chars = jnp.asarray(chars, jnp.uint8)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        return self._run(chars, lengths)
 
 
 class SeqShardedMatcher:

@@ -420,6 +420,11 @@ class BitplaneMatcher:
         #   planes; False/H2R_CLASS_STAGE=0 reverts to byte-plane input
         #   with the class BDD folded into the step circuit.
         #   H2R_CLASS_STAGE accepts 0/1/onehot/binary.
+        unroll: Optional[int] = None,  # scan fori_loop unroll factor
+        #   (None = env H2R_SCAN_UNROLL, default 1).  Unrolling exposes
+        #   adjacent byte steps to the Mosaic scheduler so position-
+        #   independent ops (class decode, log writes) overlap the serial
+        #   state recurrence.
         fuse_pack: Optional[bool] = None,  # None = off: A/B on hardware
         #   (tools/probe_tpu43.py) favors the separate pack kernel — the
         #   in-scan extraction serializes ~24k vops/chunk ahead of the
@@ -434,6 +439,11 @@ class BitplaneMatcher:
         self.compact = compact
         self.columns = columns
         n_defs = model.n_defs
+        if unroll is None:
+            unroll = int(os.environ.get("H2R_SCAN_UNROLL", 1))
+        if unroll < 1:
+            raise ValueError(f"unroll={unroll}: must be >= 1")
+        self.unroll = unroll
         env_fp = os.environ.get("H2R_FUSE_PACK")
         if env_fp is not None:
             fuse_pack = env_fp != "0"
@@ -583,7 +593,9 @@ class BitplaneMatcher:
                         out_ref[:, j, i] = out[f"log{j}"]
                     return tuple(out[f"nst{s}"] for s in live)
 
-                final = jax.lax.fori_loop(0, LC, body, carry0)
+                final = jax.lax.fori_loop(
+                    0, LC, body, carry0, unroll=unroll
+                )
                 for j in range(n_live):
                     st_scr[j] = final[j]
 
@@ -710,7 +722,9 @@ class BitplaneMatcher:
                         nxt.extend(out[f"nst{s}"] for s in c.live_states)
                     return tuple(nxt)
 
-                final = jax.lax.fori_loop(0, LC, body, carry0)
+                final = jax.lax.fori_loop(
+                    0, LC, body, carry0, unroll=unroll
+                )
                 for j in range(n_carry):
                     st_scr[j] = final[j]
 

@@ -896,9 +896,10 @@ class BitplaneMatcher:
                 emit = {"0": "planes", "1": "bytes"}.get(wb, "bytes")
             else:
                 emit = emit.lower()
-                if emit not in ("planes", "bytes", "direct"):
+                if emit not in ("planes", "bytes", "direct", "kdecode"):
                     raise ValueError(
-                        f"H2R_EMIT={emit!r}: expected planes/bytes/direct"
+                        f"H2R_EMIT={emit!r}: expected "
+                        "planes/bytes/direct/kdecode"
                     )
             fields: List[Tuple[str, int]] = [
                 ("flags", 6),
@@ -911,7 +912,14 @@ class BitplaneMatcher:
                     self._emit = "direct"
                     self._dfields = fields
                 else:
-                    self._emit = "bytes"
+                    # "bytes" and "kdecode" share the byte-group post
+                    # emission; kdecode swaps the XLA field decode for the
+                    # light standalone decode KERNEL below.
+                    self._emit = (
+                        "kdecode"
+                        if emit == "kdecode" and L_pad % 4 == 0
+                        else "bytes"
+                    )
                     groups: List[List[Tuple[str, int, int]]] = []
                     cur: List[Tuple[str, int, int]] = []
                     bits = 0
@@ -925,8 +933,11 @@ class BitplaneMatcher:
                         groups.append(cur)
                     self._wgroups = groups
                     P_total = len(groups) * 8
-        self._bytes_mode = self._emit == "bytes"
+        # bytes_mode gates the byte-group post emission, shared by "bytes"
+        # (XLA decode) and "kdecode" (Pallas decode kernel).
+        self._bytes_mode = self._emit in ("bytes", "kdecode")
         bytes_mode = self._bytes_mode
+        kdecode_mode = self._emit == "kdecode"
         direct_mode = self._emit == "direct"
         wgroups = self._wgroups
         dfields = self._dfields
@@ -1122,6 +1133,96 @@ class BitplaneMatcher:
 
         self._make_post = make_post
 
+        # ----- standalone decode kernel (H2R_EMIT=kdecode) -----
+        # Replaces the XLA tail's per-field transpose passes AND the masked-
+        # chars pass with ONE light kernel: read the byte-group words once,
+        # emit every field column (and mask*chars) as l4-packed int32 arrays
+        # whose [B, L] uint8 views are zero-copy bitcast+reshape.  Unlike
+        # the rejected "direct" mode (probe_tpu49), the tile transposes live
+        # in their own kernel where they run at memcpy speed instead of
+        # serializing the tag/FSM work (probe_tpu47/48).
+        #
+        # Layout: byte-group word w=(nws,lane) at byte lane s, group-word b
+        # holds string 4*(nws*128+lane) + 4096*b + s (module header with
+        # NW=1024), so grid cell (nws, b) owns the contiguous 512-string
+        # row block 4096*b + 512*nws and its l4-packed output row is
+        # 4*lane + s — string-major order falls out of the index map.
+        fields_flat = [
+            (name, gi, off_b, nb)
+            for gi, grp in enumerate(wgroups)
+            for (name, off_b, nb) in grp
+        ]
+        self._fields_flat = fields_flat
+
+        def make_decode(NWS: int):
+            G = len(wgroups)
+            n_fields = len(fields_flat)
+
+            def kern(g_ref, ch_ref, *out_refs):
+                def to_rows(v):
+                    # [L_pad, LANE] byte-lane words -> [512, L4] l4-packed
+                    rows = v.reshape(L4, 4, LANE)
+                    qs = []
+                    for s2 in range(4):
+                        acc = None
+                        for j in range(4):
+                            b8 = (rows[:, j] >> (8 * s2)) & 0xFF
+                            b8 = b8 << (8 * j)
+                            acc = b8 if acc is None else acc | b8
+                        qs.append(jnp.swapaxes(acc, 0, 1))  # [LANE, L4]
+                    return jnp.stack(qs, axis=1).reshape(LANE * 4, L4)
+
+                flags_rows = None
+                for fi, (name, gi, off_b, nb) in enumerate(fields_flat):
+                    w = g_ref[0, gi, 0]
+                    maskrep = jnp.int32(((1 << nb) - 1) * 0x01010101)
+                    v = (w >> off_b) & maskrep
+                    r = to_rows(v)
+                    out_refs[fi][...] = r
+                    if name == "flags":
+                        flags_rows = r
+                # masked chars = chars & 0xFF-expanded mask bit (flags bit 0)
+                mask4 = flags_rows & jnp.int32(0x01010101)
+                maskff = mask4 * 255
+                out_refs[n_fields][...] = ch_ref[...] & maskff
+
+            # string-major row block: g = 512*(b*NWS + nws) + 4*lane + s
+            row_map = lambda nws, b: (b * NWS + nws, 0)
+            return pl.pallas_call(
+                kern,
+                grid=(NWS, 8),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, G, 1, L_pad, LANE),
+                        lambda nws, b: (nws, 0, b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (LANE * 4, L4), row_map, memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=[
+                    pl.BlockSpec(
+                        (LANE * 4, L4), row_map, memory_space=pltpu.VMEM
+                    )
+                ]
+                * (n_fields + 1),
+                out_shape=[
+                    jax.ShapeDtypeStruct((NWS * LANE * 32, L4), jnp.int32)
+                ]
+                * (n_fields + 1),
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_decode = make_decode
+
         model_arrays = dict(
             accepted_states=jnp.asarray(model.accepted_states),
             accept_mask=jnp.asarray(model.accept_mask),
@@ -1196,6 +1297,31 @@ class BitplaneMatcher:
                     u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8)
                     col = u8.reshape(B, L_pad)
                     vals[name] = col[:, :L] if L_pad != L else col
+            elif kdecode_mode:
+                # Post emits byte-group words; the decode KERNEL emits all
+                # field columns + masked chars as l4-packed string-major
+                # int32 — the uint8 view is a zero-copy bitcast+reshape.
+                g4 = make_post(NWS)(logs_stack, en_plane[:, None])
+                G = len(wgroups)
+                chars_pad = (
+                    chars if L_pad == L else jnp.pad(chars, ((0, 0), (0, L_pad - L)))
+                )
+                ch_l4 = jax.lax.bitcast_convert_type(
+                    chars_pad.reshape(B, L4, 4), jnp.int32
+                )
+                outs = make_decode(NWS)(
+                    g4.reshape(NWS, G, 8, L_pad, LANE), ch_l4
+                )
+                vals = {}
+                for (name, _gi, _off, _nb), arr in zip(fields_flat, outs):
+                    u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8).reshape(
+                        B, L_pad
+                    )
+                    vals[name] = u8 if L_pad == L else u8[:, :L]
+                mc = jax.lax.bitcast_convert_type(outs[-1], jnp.uint8).reshape(
+                    B, L_pad
+                )
+                vals["masked_characters_pre"] = mc if L_pad == L else mc[:, :L]
             elif bytes_mode:
                 # Post kernel already assembled the final value bytes —
                 # XLA only bitcasts int32 words to their four byte lanes
@@ -1234,7 +1360,9 @@ class BitplaneMatcher:
                 def planes_of(name, pp=post_planes):
                     return pp[name]
 
-            if columns == "witness" and not (bytes_mode or direct_mode):
+            if columns == "witness" and not (
+                bytes_mode or direct_mode or kdecode_mode
+            ):
                 # Compact witness emission — the BASELINE ScanTraffic model
                 # (~6 B per input byte): per-def uint8 state rows, masked
                 # ids, masked chars, and ONE packed flags byte
@@ -1266,6 +1394,7 @@ class BitplaneMatcher:
             if columns == "witness":
                 flags = vals["flags"]
                 mask = flags & 1
+                masked_chars_pre = vals.get("masked_characters_pre")
                 chars_v = chars.astype(jnp.uint8)
                 after = jnp.stack(
                     [vals[f"states{d}"] for d in range(n_defs)], axis=1
@@ -1294,7 +1423,9 @@ class BitplaneMatcher:
                 out = dict(
                     states=states,
                     all_substr_ids=vals["masked_idsum"],
-                    masked_characters=mask * chars_v,
+                    masked_characters=masked_chars_pre
+                    if masked_chars_pre is not None
+                    else mask * chars_v,
                     flags=flags,
                     mask=mask,
                     accepted=accepted,

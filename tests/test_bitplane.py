@@ -343,3 +343,38 @@ def test_fused_scan_matches_per_def_kernels(model12):
         np.testing.assert_array_equal(
             np.asarray(got), np.asarray(per_def), err_msg=f"def {d}"
         )
+
+
+def test_kdecode_emission_bit_exact(monkeypatch):
+    """H2R_EMIT=kdecode (round 3): the standalone decode kernel's field
+    columns + masked chars are bit-identical to the XLA-decode bytes mode
+    on random bytes/lengths at two NWS shapes (row-block map regression:
+    the block index is b*NWS + nws, caught at NWS=1)."""
+    import os
+
+    import numpy as np
+
+    from fixtures import CONFIGS
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=64
+    )
+    rng = np.random.default_rng(5)
+    for B in (4096, 8192):
+        chars = rng.integers(0, 256, size=(B, 64)).astype(np.uint8)
+        lengths = rng.integers(0, 65, size=(B,)).astype(np.int32)
+        monkeypatch.delenv("H2R_EMIT", raising=False)
+        base = BitplaneMatcher(model, columns="witness", interpret=True)
+        assert base._emit == "bytes"
+        ob = base(chars, lengths)
+        monkeypatch.setenv("H2R_EMIT", "kdecode")
+        kd = BitplaneMatcher(model, columns="witness", interpret=True)
+        assert kd._emit == "kdecode"
+        ok = kd(chars, lengths)
+        for k in ob:
+            np.testing.assert_array_equal(
+                np.asarray(ob[k]), np.asarray(ok[k]), err_msg=f"B={B} {k}"
+            )

@@ -77,13 +77,19 @@ def main(argv=None) -> int:
         return mk
 
     def mk_full(K):
+        # DCE-proof (round 3): every iteration's witness columns are jit
+        # outputs, so the slope prices the FULL emission (the old mask-only
+        # chain let XLA dead-code-eliminate the other columns).
+        keys = ("states", "all_substr_ids", "masked_characters", "flags",
+                "match_ok")
+
         @jax.jit
         def f(c):
-            out = None
-            for _ in range(K):
-                out = m.core(c, lengths_j)
-                c = c ^ (out["mask"].ravel()[0] & 1).astype(jnp.uint8)
-            return out
+            outs = []
+            for i in range(K):
+                out = m.core(c ^ np.uint8(i), lengths_j ^ i)
+                outs.append(tuple(out[k] for k in keys))
+            return outs
 
         return f
 

@@ -99,6 +99,45 @@ def _cmd_match(args) -> int:
     return 1 if (args.strict and n_bad) else 0
 
 
+def _cmd_handoff(args) -> int:
+    """Prover hand-off: dump tables + assigned witness columns for one
+    input as the self-describing row artifact (witness/handoff.py), then
+    re-verify it from the text alone."""
+    from .models.compiled import CompiledRegexModel
+    from .ops.reference import match_substrs
+    from .witness.handoff import (
+        dump_prover_rows,
+        load_prover_rows,
+        verify_handoff,
+    )
+
+    model = CompiledRegexModel.load(args.model)
+    s = args.string.encode("latin-1")
+    result = match_substrs(model.regex_defs, s, model.max_chars_size)
+    if not bool(result.match_ok) and not args.allow_nonmatch:
+        print("input does not match; pass --allow-nonmatch to dump anyway")
+        return 1
+    text = dump_prover_rows(
+        model.regex_defs,
+        result,
+        meta={
+            "model": args.model,
+            "input": args.string.encode("unicode_escape").decode(),
+            "max_chars_size": str(model.max_chars_size),
+        },
+    )
+    Path(args.output).write_text(text)
+    errors = verify_handoff(load_prover_rows(text))
+    if errors:
+        print(f"VERIFY FAILED: {errors[:3]}")
+        return 1
+    print(
+        f"wrote {args.output} ({len(text.splitlines())} lines), "
+        f"external-style verification clean"
+    )
+    return 0
+
+
 def _cmd_explain(args) -> int:
     """Per-byte trace of a match: state sequence, substr ids, flags and
     masks — the debugging view of the witness columns."""
@@ -266,6 +305,15 @@ def main(argv=None) -> int:
     p.add_argument("--backend", default="auto",
                    choices=["auto", "bitplane", "pallas", "xla"])
     p.set_defaults(fn=_cmd_match)
+
+    p = sub.add_parser(
+        "handoff", help="dump prover hand-off rows for one input"
+    )
+    p.add_argument("--model", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--allow-nonmatch", action="store_true")
+    p.add_argument("string")
+    p.set_defaults(fn=_cmd_handoff)
 
     p = sub.add_parser("explain", help="per-byte trace of one match")
     p.add_argument("--model", required=True)

@@ -101,3 +101,46 @@ def test_example_runs(tmp_path, capsys):
     assert ex.main(str(tmp_path / "h.txt")) == 0
     outp = capsys.readouterr().out
     assert "hand-off verified" in outp and "123456" in outp
+
+
+def test_cli_handoff(tmp_path, capsys):
+    import json
+
+    from halo2_regex_tpu.cli import main as cli_main
+
+    cfg = {
+        "max_byte_size": 64,
+        "parts": [
+            {"is_public": False, "regex_def": "id: ", "max_size": 4},
+            {
+                "is_public": True,
+                "regex_def": "(0|1|2|3|4|5|6|7|8|9)+",
+                "max_size": 8,
+            },
+        ],
+    }
+    cfgp = tmp_path / "cfg.json"
+    cfgp.write_text(json.dumps(cfg))
+    mp = tmp_path / "m.npz"
+    assert (
+        cli_main(
+            ["compile", str(cfgp), "--max-chars-size", "64", "-o", str(mp)]
+        )
+        == 0
+    )
+    hp = tmp_path / "h.txt"
+    assert (
+        cli_main(["handoff", "--model", str(mp), "--output", str(hp), "id: 42"])
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "verification clean" in out
+    from halo2_regex_tpu.witness.handoff import load_prover_rows
+
+    sections = load_prover_rows(hp.read_text())
+    assert "table transition def=0" in sections
+    # non-matching input is refused without --allow-nonmatch
+    assert (
+        cli_main(["handoff", "--model", str(mp), "--output", str(hp), "nope"])
+        == 1
+    )

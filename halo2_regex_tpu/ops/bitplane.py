@@ -956,6 +956,7 @@ class BitplaneMatcher:
                 log_ref = refs[0]  # fused [*, SB_sum, L_pad, LANE] stack
                 en_ref = refs[1]
                 out_ref = refs[2] if not direct_mode else None
+                fb_ref = refs[3] if bytes_mode else None
                 out_refs = refs[2:]
                 en = en_ref[0, 0]  # [L_pad, LANE]
                 zrow = jnp.zeros((1, LANE), jnp.int32)
@@ -1075,6 +1076,33 @@ class BitplaneMatcher:
                         words = transpose8_planes(planes)
                         for b in range(8):
                             out_ref[0, gi * 8 + b] = words[b]
+                    # Final-state boundary planes: per def the log bits of
+                    # the state AFTER the last enabled byte (first state
+                    # for empty strings) — replaces the XLA take_along
+                    # gather and lets match_ok skip the states decode.
+                    en_next = jnp.concatenate([en[1:], zrow], 0)
+                    bnd = en & ~en_next  # last enabled position per string
+                    empty = ~en[0]  # [LANE]
+                    for d, circ in enumerate(self.circuits):
+                        for j in range(8):
+                            if j < sbs[d]:
+                                x = bnd & log_ref[0, soff[d] + j]
+                                while x.shape[0] > 1:
+                                    half = x.shape[0] // 2
+                                    y = x[:half] | x[half : 2 * half]
+                                    if x.shape[0] % 2:
+                                        y = jnp.concatenate(
+                                            [y[:1] | x[-1:], y[1:]], 0
+                                        )
+                                    x = y
+                                first_j = jnp.int32(
+                                    -1 if (circ.first_state >> j) & 1 else 0
+                                )
+                                fb_ref[0, d, j] = x[0] | (empty & first_j)
+                            else:
+                                fb_ref[0, d, j] = jnp.zeros(
+                                    (LANE,), jnp.int32
+                                )
                 else:
                     put("fwd", [fwd])
                     put("bwd", [bwd])
@@ -1115,6 +1143,21 @@ class BitplaneMatcher:
                 out_shape = jax.ShapeDtypeStruct(
                     (NWS, P_total, L_pad, LANE), jnp.int32
                 )
+                if bytes_mode:
+                    out_specs = [
+                        out_specs,
+                        pl.BlockSpec(
+                            (1, n_defs, 8, LANE),
+                            lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM,
+                        ),
+                    ]
+                    out_shape = [
+                        out_shape,
+                        jax.ShapeDtypeStruct(
+                            (NWS, n_defs, 8, LANE), jnp.int32
+                        ),
+                    ]
             return pl.pallas_call(
                 kern,
                 grid=(NWS,),
@@ -1223,6 +1266,24 @@ class BitplaneMatcher:
 
         self._make_decode = make_decode
 
+        def final_from_fb(fb, B):
+            """[NWS, n_defs, 8, LANE] boundary log planes -> final state
+            [B, n_defs] (the packed-domain replacement for the take_along
+            gather; bit beta = 8s+m of word w is string 4*(w + NW*m) + s,
+            so per-def values reorder as (m, w, s))."""
+            NW = B // 32
+            beta = jnp.arange(32, dtype=jnp.int32)
+            bits = (fb[:, :, :, :, None] >> beta) & 1
+            shifts = jnp.arange(8, dtype=jnp.int32)
+            vals_wb = (bits << shifts[None, None, :, None, None]).sum(
+                axis=2
+            )  # [NWS, n_defs, LANE, 32]
+            cols = []
+            for d in range(n_defs):
+                v = vals_wb[:, d].reshape(NW, 4, 8)
+                cols.append(v.transpose(2, 0, 1).reshape(B))
+            return jnp.stack(cols, axis=1)
+
         model_arrays = dict(
             accepted_states=jnp.asarray(model.accepted_states),
             accept_mask=jnp.asarray(model.accept_mask),
@@ -1287,6 +1348,7 @@ class BitplaneMatcher:
             ]
 
             # 3+4. tag + id-sum + mask FSMs
+            fb = None  # final-state boundary planes (bytes/kdecode posts)
             if direct_mode:
                 # Post kernel wrote l4-packed [B, L]-major int32 per field
                 # — the [B, L] uint8 column is a zero-copy bitcast+reshape
@@ -1301,7 +1363,7 @@ class BitplaneMatcher:
                 # Post emits byte-group words; the decode KERNEL emits all
                 # field columns + masked chars as l4-packed string-major
                 # int32 — the uint8 view is a zero-copy bitcast+reshape.
-                g4 = make_post(NWS)(logs_stack, en_plane[:, None])
+                g4, fb = make_post(NWS)(logs_stack, en_plane[:, None])
                 G = len(wgroups)
                 chars_pad = (
                     chars if L_pad == L else jnp.pad(chars, ((0, 0), (0, L_pad - L)))
@@ -1328,7 +1390,7 @@ class BitplaneMatcher:
                 # and transposes to string-major [B, L] order (bit beta =
                 # 8s+b of word w is string 4*(w + NW*b) + s, so flat
                 # string order is dims (b, nws, lane, s)).
-                g4 = make_post(NWS)(logs_stack, en_plane[:, None])
+                g4, fb = make_post(NWS)(logs_stack, en_plane[:, None])
                 G = len(wgroups)
                 u8 = jax.lax.bitcast_convert_type(
                     g4.reshape(NWS, G, 8, L_pad, LANE)[:, :, :, :L],
@@ -1411,11 +1473,18 @@ class BitplaneMatcher:
                     jnp.uint8
                 )
                 states = jnp.where(in_range, raw, dummy)
-                final = jnp.take_along_axis(
-                    raw,
-                    lengths[:, None, None].repeat(n_defs, 1).astype(jnp.int32),
-                    axis=2,
-                )[:, :, 0].astype(jnp.int32)
+                if fb is not None:
+                    # post kernel emitted the boundary log planes: no
+                    # gather, and match_ok is independent of the decode
+                    final = final_from_fb(fb, B)
+                else:
+                    final = jnp.take_along_axis(
+                        raw,
+                        lengths[:, None, None]
+                        .repeat(n_defs, 1)
+                        .astype(jnp.int32),
+                        axis=2,
+                    )[:, :, 0].astype(jnp.int32)
                 accepted = model_arrays["accept_mask"][
                     jnp.arange(n_defs)[None, :], final
                 ]

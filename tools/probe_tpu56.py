@@ -237,7 +237,7 @@ s = benchmark_chained(
 print(f"D: en_plane standalone (chained-scalar): {s*1e3:.3f} ms", flush=True)
 
 # full current tail from fixed post output, K-outputs materialization
-g4 = m._make_post(NWS)(m._make_scan_fused(NWS)(bits), en_fn(lengths_j)[:, None])
+g4, _fb = m._make_post(NWS)(m._make_scan_fused(NWS)(bits), en_fn(lengths_j)[:, None])
 wgroups = m._wgroups
 G = len(wgroups)
 n_defs = model.n_defs

@@ -770,6 +770,11 @@ class BitplaneMatcher:
         PLC = min(128, L_pad)
         while L_pad % PLC != 0:
             PLC //= 2
+        # Opt-in (H2R_EN_PACK=1): the pack kernel also computes the enable
+        # plane from a per-word length table, replacing the XLA broadcast-
+        # compare-reduce pass of the run path (pending the hardware A/B).
+        en_in_pack = os.environ.get("H2R_EN_PACK") == "1"
+        self._en_in_pack = en_in_pack
 
         def make_pack(NWS: int):
             NT = min(nws_tile, NWS)
@@ -777,7 +782,11 @@ class BitplaneMatcher:
                 NT -= 1
             KOUT = self._kp if class_stage else 8
 
-            def kern(r_ref, out_ref):
+            def kern(*refs):
+                if en_in_pack:
+                    r_ref, len_ref, out_ref, en_ref = refs
+                else:
+                    r_ref, out_ref = refs
                 mask = jnp.int32(_QUAD_MASK)
                 planes = []
                 for j in range(8):
@@ -797,25 +806,61 @@ class BitplaneMatcher:
                 else:
                     for j in range(8):
                         out_ref[:, j] = planes[j]
+                if en_in_pack:
+                    l = pl.program_id(1)
+                    pos = l * PLC + jax.lax.broadcasted_iota(
+                        jnp.int32, (NT, PLC, LANE), 1
+                    )
+                    lv = len_ref[...]  # [NT, LANE, 32]
+                    acc = None
+                    for beta in range(32):
+                        bit = (
+                            pos < lv[:, None, :, beta]
+                        ).astype(jnp.int32) << beta
+                        acc = bit if acc is None else acc | bit
+                    en_ref[...] = acc
 
-            return pl.pallas_call(
-                kern,
-                grid=(NWS // NT, L_pad // PLC),
-                in_specs=[
-                    pl.BlockSpec(
-                        (PLC, 8, NT, LANE),
-                        lambda b, l: (l, 0, b, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (PLC, KOUT, NT, LANE),
+            in_specs = [
+                pl.BlockSpec(
+                    (PLC, 8, NT, LANE),
                     lambda b, l: (l, 0, b, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (L_pad, KOUT, NWS, LANE), jnp.int32
-                ),
+            ]
+            out_specs = pl.BlockSpec(
+                (PLC, KOUT, NT, LANE),
+                lambda b, l: (l, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (L_pad, KOUT, NWS, LANE), jnp.int32
+            )
+            if en_in_pack:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (NT, LANE, 32),
+                        lambda b, l: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                out_specs = [
+                    out_specs,
+                    pl.BlockSpec(
+                        (NT, PLC, LANE),
+                        lambda b, l: (b, l, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ]
+                out_shape = [
+                    out_shape,
+                    jax.ShapeDtypeStruct((NWS, L_pad, LANE), jnp.int32),
+                ]
+            return pl.pallas_call(
+                kern,
+                grid=(NWS // NT, L_pad // PLC),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
                 interpret=interpret,
                 compiler_params=None
                 if interpret
@@ -1313,13 +1358,8 @@ class BitplaneMatcher:
             # in XLA; plane extraction in the pack kernel, or fused into
             # the scan kernel's prologue for single-def models)
             R = raw_quads(chars, L_pad).reshape(L_pad, 8, NWS, LANE)
-            if fuse_pack:
-                bits_stack = R  # raw quads; scan kernel extracts in VMEM
-            else:
-                bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
 
-            # enable plane (pos < length), computed directly in the packed
-            # NWS-major domain from lengths (no second [B, L] transpose).
+            # enable plane (pos < length) in the packed NWS-major domain.
             # bit beta = 8s+m of word w belongs to string 4*(w + NW*m) + s,
             # so the per-word length table is lengths viewed (m, w, s) and
             # reordered to (w, beta).
@@ -1330,12 +1370,21 @@ class BitplaneMatcher:
                 .transpose(1, 2, 0)
                 .reshape(NWS, LANE, 32)
             )
-            beta = jnp.arange(32, dtype=jnp.int32)
-            en_bits = (
-                jnp.arange(L_pad, dtype=jnp.int32)[None, :, None, None]
-                < len_wb[:, None]
-            ).astype(jnp.int32) << beta
-            en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
+            if fuse_pack:
+                bits_stack = R  # raw quads; scan kernel extracts in VMEM
+            elif self._en_in_pack:
+                # pack kernel computes byte/class planes AND the enable
+                # plane (H2R_EN_PACK=1), replacing the XLA pass below
+                bits_stack, en_plane = make_pack(NWS)(R, len_wb)
+            else:
+                bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
+            if fuse_pack or not self._en_in_pack:
+                beta = jnp.arange(32, dtype=jnp.int32)
+                en_bits = (
+                    jnp.arange(L_pad, dtype=jnp.int32)[None, :, None, None]
+                    < len_wb[:, None]
+                ).astype(jnp.int32) << beta
+                en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
 
             # 2. fused scan kernel: all defs' step circuits in one pass
             # over the plane stack (single read; cross-def chain ILP)

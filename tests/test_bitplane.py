@@ -378,3 +378,39 @@ def test_kdecode_emission_bit_exact(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(ob[k]), np.asarray(ok[k]), err_msg=f"B={B} {k}"
             )
+
+
+def test_en_in_pack_bit_exact(monkeypatch):
+    """H2R_EN_PACK=1: the pack kernel's enable plane reproduces the XLA
+    path bit-exactly across emission modes (round 3 tail-cut option)."""
+    import os
+
+    import numpy as np
+
+    from fixtures import CONFIGS
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=64
+    )
+    rng = np.random.default_rng(11)
+    B = 4096
+    chars = rng.integers(0, 256, size=(B, 64)).astype(np.uint8)
+    lengths = rng.integers(0, 65, size=(B,)).astype(np.int32)
+    lengths[0] = 0
+    monkeypatch.delenv("H2R_EN_PACK", raising=False)
+    base = BitplaneMatcher(model, columns="witness", interpret=True)(
+        chars, lengths
+    )
+    monkeypatch.setenv("H2R_EN_PACK", "1")
+    for emit in ("bytes", "kdecode"):
+        monkeypatch.setenv("H2R_EMIT", emit)
+        out = BitplaneMatcher(model, columns="witness", interpret=True)(
+            chars, lengths
+        )
+        for k in base:
+            np.testing.assert_array_equal(
+                np.asarray(base[k]), np.asarray(out[k]), err_msg=f"{emit} {k}"
+            )

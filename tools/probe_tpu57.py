@@ -1,0 +1,282 @@
+"""Round-3 probe 2: kdecode A/B + Parabix marker streams A/B (ROADMAP #6).
+
+  A. Full witness pipeline, H2R_EMIT=bytes vs kdecode (the new standalone
+     decode kernel), DCE-proof K-outputs harness at B=32k.
+  B. Marker-stream matcher for the restricted from-header form
+     (tools/probe_tpu57_lib.py, bit-exact vs Python re) vs the full DFA
+     scan kernel at the same shape: regex->bitstream compilation's
+     favorable case (match-only, two spans, no per-position states).
+     Variants: XLA jit on packed planes (log-scan rounds hit HBM) and a
+     whole-plane Pallas kernel (everything VMEM-resident).
+  C. Small-batch latency: B=2048 marker kernel vs scan kernel.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+if os.path.isdir("/root/.axon_site") and "/root/.axon_site" not in sys.path:
+    sys.path.append("/root/.axon_site")
+sys.setrecursionlimit(100_000)
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+import probe_tpu57_lib as mk
+from halo2_regex_tpu.models import zoo
+from halo2_regex_tpu.ops.bitplane import (
+    BitplaneMatcher,
+    pack_bool,
+    pack_bytes,
+    raw_quads,
+)
+from halo2_regex_tpu.utils.profiling import benchmark_chained
+
+B, L = 32768, 1024
+NWS = B // 32 // 128
+LANE = 128
+rng = np.random.default_rng(0)
+
+print(f"device: {jax.devices()[0]}", flush=True)
+t0 = time.time()
+
+# corpus: half junk, half valid restricted from-headers
+chars = np.zeros((B, L), np.uint8)
+lengths = np.zeros((B,), np.int32)
+alpha = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz", np.uint8)
+alpha_sp = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz @.-:", np.uint8)
+for i in range(B):
+    name = rng.choice(alpha, size=8).tobytes()
+    filler_len = int(rng.integers(0, max(1, L - 96)))
+    filler = rng.choice(alpha_sp, size=filler_len).tobytes()
+    if i % 2 == 0:
+        s = filler + b"\r\nfrom:" + name + b"@gmail.com\r\n"
+    else:
+        s = filler
+    s = s[:L]
+    chars[i, : len(s)] = bytearray(s)
+    lengths[i] = len(s)
+chars_j = jnp.asarray(chars)
+lengths_j = jnp.asarray(lengths)
+
+WITNESS_KEYS = ("states", "all_substr_ids", "masked_characters", "flags",
+                "match_ok")
+
+
+def kout_of(core):
+    def make(K):
+        @jax.jit
+        def f(c, ln):
+            outs = []
+            for i in range(K):
+                out = core(c ^ np.uint8(i), ln ^ i)
+                outs.append(tuple(out[k] for k in WITNESS_KEYS))
+            return outs
+
+        return f
+
+    return make
+
+
+# --------------------------------------------- A: pipeline config sweep
+# emit mode x en-in-pack x scan unroll: the candidate production configs,
+# honest K-outputs harness.
+model = zoo.email_headers_model(max_chars_size=L, headers=("from",))
+CONFIGS_A = [
+    ("bytes/en-xla/u1", dict(H2R_EMIT="bytes"), dict(unroll=1)),
+    ("kdecode/en-xla/u1", dict(H2R_EMIT="kdecode"), dict(unroll=1)),
+    ("kdecode/en-pack/u1", dict(H2R_EMIT="kdecode", H2R_EN_PACK="1"), dict(unroll=1)),
+    ("bytes/en-xla/u4", dict(H2R_EMIT="bytes"), dict(unroll=4)),
+    ("kdecode/en-pack/u4", dict(H2R_EMIT="kdecode", H2R_EN_PACK="1"), dict(unroll=4)),
+]
+matchersA = {}
+for name, env, kw in CONFIGS_A:
+    for k in ("H2R_EMIT", "H2R_EN_PACK"):
+        os.environ.pop(k, None)
+    os.environ.update(env)
+    matchersA[name] = BitplaneMatcher(model, columns="witness", **kw)
+for k in ("H2R_EMIT", "H2R_EN_PACK"):
+    os.environ.pop(k, None)
+best = {}
+for rnd in range(3):
+    for name, _env, _kw in CONFIGS_A:
+        m = matchersA[name]
+        s = benchmark_chained(kout_of(m.core), (chars_j, lengths_j), ks=(1, 4))
+        if s > 1e-7:
+            best[name] = min(best.get(name, float("inf")), s)
+        print(f"A r{rnd}: {name}: {s*1e3:7.3f} ms", flush=True)
+for name, s in best.items():
+    print(f"A BEST {name}: {s*1e3:.3f} ms = {B*L/s/1e9:.1f} GB/s", flush=True)
+
+# hardware bit-exactness: every config vs the bytes/u1 baseline
+ob = {k: np.asarray(v)
+      for k, v in matchersA["bytes/en-xla/u1"]._run(chars_j, lengths_j).items()}
+for name, _env, _kw in CONFIGS_A[1:]:
+    ok = {k: np.asarray(v)
+          for k, v in matchersA[name]._run(chars_j, lengths_j).items()}
+    for k in ob:
+        np.testing.assert_array_equal(ob[k], ok[k], err_msg=f"{name} {k}")
+    print(f"A: {name} bit-exact on hardware", flush=True)
+
+# --------------------------------------------------------------- B: marker A/B
+expect = np.array(
+    [
+        re.search(mk.PY_PATTERN, bytes(chars[i, : lengths[i]]), re.DOTALL)
+        is not None
+        for i in range(B)
+    ]
+)
+exp_plane = np.asarray(pack_bool(jnp.asarray(expect[:, None].astype(np.uint8)), 1))[0]
+
+planes8 = pack_bytes(chars_j, L)
+pos = np.arange(L)
+en_bl = pos[None, :] < lengths[:, None]
+en_plane = pack_bool(jnp.asarray(en_bl.astype(np.uint8)), L)
+en_next = np.concatenate([en_bl[:, 1:], np.zeros((B, 1), bool)], axis=1)
+end_plane = pack_bool(jnp.asarray((en_bl & ~en_next).astype(np.uint8)), L)
+
+stack = jnp.stack(list(planes8) + [en_plane, end_plane])  # [10, L, NW]
+
+
+def marker_xla(st):
+    return mk.marker_match_reduced(
+        [st[j] for j in range(8)], st[8], st[9], jnp
+    )
+
+
+out_x = np.asarray(jax.jit(marker_xla)(stack))
+np.testing.assert_array_equal(out_x, exp_plane)
+print("B: marker XLA bit-exact vs python re on hardware", flush=True)
+
+# Pallas whole-plane kernel: [10, L, NT*LANE] blocks, everything in VMEM.
+NW = B // 32
+
+
+def make_marker_kernel(NWS_k, NT=2):
+    def kern(st_ref, out_ref):
+        planes = [st_ref[j] for j in range(8)]
+        enp = st_ref[8]
+        endp = st_ref[9]
+        out_ref[0] = mk.marker_match_reduced(planes, enp, endp, jnp)[None]
+
+    return pl.pallas_call(
+        kern,
+        grid=(NWS_k // NT,),
+        in_specs=[
+            pl.BlockSpec(
+                (10, L, NT * LANE),
+                lambda b: (0, 0, b),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, NT * LANE), lambda b: (0, 0, b), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, 1, NWS_k * LANE), jnp.int32),
+        interpret=False,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+            )
+        ),
+    )
+
+
+stack3 = stack.reshape(10, L, NW)
+try:
+    mkk = make_marker_kernel(NWS)
+    out_p = np.asarray(mkk(stack3)).reshape(NW)
+    np.testing.assert_array_equal(out_p, exp_plane)
+    print("B: marker PALLAS kernel bit-exact", flush=True)
+    marker_pallas_ok = True
+except Exception as e:
+    print(f"B: marker pallas FAILED: {type(e).__name__}: {str(e)[:200]}",
+          flush=True)
+    marker_pallas_ok = False
+
+
+def chain(fn, getdep):
+    def mkc(K):
+        @jax.jit
+        def f(x):
+            y = None
+            for _ in range(K):
+                y = fn(x)
+                x = x ^ getdep(y).astype(x.dtype)
+            return y
+
+        return f
+
+    return mkc
+
+
+# the DFA scan kernel at the same shape (the thing marker streams would
+# replace): fused scan on the packed class planes
+mscan = BitplaneMatcher(model, columns="witness")
+R = jax.jit(lambda c: raw_quads(c, mscan.L_pad).reshape(mscan.L_pad, 8, NWS, 128))(chars_j)
+bits = mscan._make_pack(NWS)(R)
+bestB = {}
+for rnd in range(3):
+    s_scan = benchmark_chained(
+        chain(mscan._make_scan_fused(NWS), lambda y: y.ravel()[0] & 1),
+        (bits,), ks=(1, 4),
+    )
+    s_mx = benchmark_chained(
+        chain(marker_xla, lambda y: y.ravel()[0] & 1), (stack,), ks=(1, 4)
+    )
+    rowB = {"scan_kernel": s_scan, "marker_xla": s_mx}
+    if marker_pallas_ok:
+        s_mp = benchmark_chained(
+            chain(lambda st: mkk(st), lambda y: y.ravel()[0] & 1),
+            (stack3,), ks=(1, 4),
+        )
+        rowB["marker_pallas"] = s_mp
+    for nm, s in rowB.items():
+        if s > 1e-7:
+            bestB[nm] = min(bestB.get(nm, float("inf")), s)
+    print(
+        "B r%d: " % rnd
+        + "  ".join(f"{nm} {s*1e3:7.3f} ms" for nm, s in rowB.items()),
+        flush=True,
+    )
+for nm, s in bestB.items():
+    print(f"B BEST {nm}: {s*1e3:.3f} ms = {B*L/s/1e9:.1f} GB/s", flush=True)
+
+# ------------------------------------------------- C: small-batch latency
+Bs = 4096  # one packed word group (the minimum plane width)
+NWS_s = 1
+chars_s = chars[:Bs]
+lengths_s = lengths[:Bs]
+planes_s = pack_bytes(jnp.asarray(chars_s), L)
+enb = pos[None, :] < lengths_s[:, None]
+en_s = pack_bool(jnp.asarray(enb.astype(np.uint8)), L)
+enn = np.concatenate([enb[:, 1:], np.zeros((Bs, 1), bool)], axis=1)
+end_s = pack_bool(jnp.asarray((enb & ~enn).astype(np.uint8)), L)
+stack_s = jnp.stack(list(planes_s) + [en_s, end_s])
+stack3_s = stack_s.reshape(10, L, Bs // 32)
+ms = BitplaneMatcher(model, columns="witness", nws_tile=1)
+Rs = jax.jit(lambda c: raw_quads(c, ms.L_pad).reshape(ms.L_pad, 8, NWS_s, 128))(jnp.asarray(chars_s))
+bits_s = ms._make_pack(NWS_s)(Rs)
+mkk_s = make_marker_kernel(NWS_s, NT=1) if marker_pallas_ok else None
+for rnd in range(2):
+    row = {"marker_xla": benchmark_chained(
+        chain(marker_xla, lambda y: y.ravel()[0] & 1), (stack_s,), ks=(1, 8))}
+    if mkk_s is not None:
+        row["marker_pallas"] = benchmark_chained(
+            chain(lambda st: mkk_s(st), lambda y: y.ravel()[0] & 1),
+            (stack3_s,), ks=(1, 8))
+    row["scan_kernel"] = benchmark_chained(
+        chain(ms._make_scan_fused(NWS_s), lambda y: y.ravel()[0] & 1),
+        (bits_s,), ks=(1, 8))
+    print("C r%d (B=%d): " % (rnd, Bs)
+          + "  ".join(f"{nm} {v*1e6:8.1f} us" for nm, v in row.items()),
+          flush=True)
+
+print(f"total probe time: {time.time()-t0:.0f} s", flush=True)

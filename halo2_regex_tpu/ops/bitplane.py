@@ -873,6 +873,122 @@ class BitplaneMatcher:
 
         self._make_pack = make_pack
 
+        # ----- qpack: raw_quads fused into the pack kernel (H2R_QPACK=1) -----
+        # The XLA raw_quads pass materializes the [L, B] transpose (67 MB
+        # round trip at B=32k).  qpack reads the [B, L] chars directly via
+        # the pure-view reshape [8m, NW, 4s, L] (string g = m*4NW + 4w + s)
+        # and builds the quad rows with in-kernel tile transposes — light
+        # kernel, so the transposes run at memcpy speed (probe_tpu47/48)
+        # instead of serializing compute.  Requires L == L_pad.
+        self._qpack = (
+            os.environ.get("H2R_QPACK") == "1" and L_pad == L and not fuse_pack
+        )
+
+        def make_qpack(NWS: int):
+            NT = min(nws_tile, NWS)
+            while NWS % NT != 0:
+                NT -= 1
+            W = NT * LANE
+            KOUT = self._kp if class_stage else 8
+
+            def kern(*refs):
+                if en_in_pack:
+                    ch_ref, len_ref, out_ref, en_ref = refs
+                else:
+                    ch_ref, out_ref = refs
+                ch = ch_ref[...].astype(jnp.int32)  # [8, W, 4, PLC]
+                mask = jnp.int32(_QUAD_MASK)
+                planes = [None] * 8
+                for m in range(8):
+                    word = None
+                    for s2 in range(4):
+                        v = ch[m, :, s2, :] << (8 * s2)
+                        word = v if word is None else word | v
+                    Rm = jnp.swapaxes(word, 0, 1)  # [PLC, W]
+                    for j in range(8):
+                        v = ((Rm >> j) & mask) << m
+                        planes[j] = v if planes[j] is None else planes[j] | v
+                # planes[j]: [PLC, W] == [PLC, NT*LANE]; out block wants
+                # (PLC, KOUT, NT, LANE)
+                def shaped(p):
+                    return p.reshape(PLC, NT, LANE)
+
+                if class_stage:
+                    env = {f"byte_bit{j}": planes[j] for j in range(8)}
+                    for d, circ in enumerate(self.circuits):
+                        out = circ.class_prog.run(env)
+                        for c, name in enumerate(circ.class_plane_names):
+                            out_ref[:, self._cls_off[d] + c] = shaped(out[name])
+                else:
+                    for j in range(8):
+                        out_ref[:, j] = shaped(planes[j])
+                if en_in_pack:
+                    l = pl.program_id(1)
+                    pos = l * PLC + jax.lax.broadcasted_iota(
+                        jnp.int32, (NT, PLC, LANE), 1
+                    )
+                    lv = len_ref[...]
+                    acc = None
+                    for beta in range(32):
+                        bit = (
+                            pos < lv[:, None, :, beta]
+                        ).astype(jnp.int32) << beta
+                        acc = bit if acc is None else acc | bit
+                    en_ref[...] = acc
+
+            in_specs = [
+                pl.BlockSpec(
+                    (8, W, 4, PLC),
+                    lambda b, l: (0, b, 0, l),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            out_specs = pl.BlockSpec(
+                (PLC, KOUT, NT, LANE),
+                lambda b, l: (l, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (L_pad, KOUT, NWS, LANE), jnp.int32
+            )
+            if en_in_pack:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (NT, LANE, 32),
+                        lambda b, l: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                out_specs = [
+                    out_specs,
+                    pl.BlockSpec(
+                        (NT, PLC, LANE),
+                        lambda b, l: (b, l, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ]
+                out_shape = [
+                    out_shape,
+                    jax.ShapeDtypeStruct((NWS, L_pad, LANE), jnp.int32),
+                ]
+            return pl.pallas_call(
+                kern,
+                grid=(NWS // NT, L_pad // PLC),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_qpack = make_qpack
+
         # ----- fused tag + FSM "post" kernel -----
         # Position-parallel packed-domain work (pair circuit, id-sum adder,
         # both mask FSM log-scans) in ONE kernel with whole-L blocks tiled
@@ -1372,6 +1488,14 @@ class BitplaneMatcher:
             )
             if fuse_pack:
                 bits_stack = R  # raw quads; scan kernel extracts in VMEM
+            elif self._qpack:
+                # raw_quads fused into the pack kernel: read the [B, L]
+                # chars via the pure-view [8m, NW, 4s, L] reshape
+                ch_v = chars.reshape(8, NW, 4, L)
+                if self._en_in_pack:
+                    bits_stack, en_plane = make_qpack(NWS)(ch_v, len_wb)
+                else:
+                    bits_stack = make_qpack(NWS)(ch_v)
             elif self._en_in_pack:
                 # pack kernel computes byte/class planes AND the enable
                 # plane (H2R_EN_PACK=1), replacing the XLA pass below

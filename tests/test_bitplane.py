@@ -414,3 +414,38 @@ def test_en_in_pack_bit_exact(monkeypatch):
             np.testing.assert_array_equal(
                 np.asarray(base[k]), np.asarray(out[k]), err_msg=f"{emit} {k}"
             )
+
+
+def test_qpack_fused_input_bit_exact(monkeypatch):
+    """H2R_QPACK=1: the pack kernel reads [B, L] chars directly (raw_quads
+    transpose fused in-kernel); combined with en-pack and kdecode the full
+    candidate round-3 config stays bit-exact."""
+    import numpy as np
+
+    from fixtures import CONFIGS
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=128
+    )
+    rng = np.random.default_rng(17)
+    B = 4096
+    chars = rng.integers(0, 256, size=(B, 128)).astype(np.uint8)
+    lengths = rng.integers(0, 129, size=(B,)).astype(np.int32)
+    for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
+        monkeypatch.delenv(k, raising=False)
+    base = BitplaneMatcher(model, columns="witness", interpret=True)(
+        chars, lengths
+    )
+    monkeypatch.setenv("H2R_QPACK", "1")
+    monkeypatch.setenv("H2R_EN_PACK", "1")
+    monkeypatch.setenv("H2R_EMIT", "kdecode")
+    m = BitplaneMatcher(model, columns="witness", interpret=True)
+    assert m._qpack
+    out = m(chars, lengths)
+    for k in base:
+        np.testing.assert_array_equal(
+            np.asarray(base[k]), np.asarray(out[k]), err_msg=k
+        )

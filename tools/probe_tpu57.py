@@ -95,14 +95,16 @@ CONFIGS_A = [
     ("kdecode/en-pack/u1", dict(H2R_EMIT="kdecode", H2R_EN_PACK="1"), dict(unroll=1)),
     ("bytes/en-xla/u4", dict(H2R_EMIT="bytes"), dict(unroll=4)),
     ("kdecode/en-pack/u4", dict(H2R_EMIT="kdecode", H2R_EN_PACK="1"), dict(unroll=4)),
+    ("kdecode/en-pack/qpack/u4",
+     dict(H2R_EMIT="kdecode", H2R_EN_PACK="1", H2R_QPACK="1"), dict(unroll=4)),
 ]
 matchersA = {}
 for name, env, kw in CONFIGS_A:
-    for k in ("H2R_EMIT", "H2R_EN_PACK"):
+    for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
         os.environ.pop(k, None)
     os.environ.update(env)
     matchersA[name] = BitplaneMatcher(model, columns="witness", **kw)
-for k in ("H2R_EMIT", "H2R_EN_PACK"):
+for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
     os.environ.pop(k, None)
 best = {}
 for rnd in range(3):

@@ -281,4 +281,59 @@ for rnd in range(2):
           + "  ".join(f"{nm} {v*1e6:8.1f} us" for nm, v in row.items()),
           flush=True)
 
+# ---------------------------------------------- D: 64KB-input bitplane
+# VERDICT r2 weakness #8: the long-input bitplane tier was analyzed (VPU
+# underfill at the B that fits HBM) but never measured. Anchor the
+# analysis: B=4096 x 64KB email model (NT=1, 8x lane underfill) vs the
+# segmented split-Pallas path at the same shape.
+try:
+    L64 = 65536
+    B64 = 4096
+    model64 = zoo.email_headers_model(max_chars_size=L64, headers=("from",))
+    chars64 = np.zeros((B64, L64), np.uint8)
+    lengths64 = np.zeros((B64,), np.int32)
+    for i in range(B64):
+        filler_len = int(rng.integers(0, L64 - 96))
+        s64 = (bytes(rng.choice(alpha_sp, size=filler_len))
+               + b"\r\nfrom:" + bytes(rng.choice(alpha, size=8))
+               + b"@gmail.com\r\n")[:L64]
+        chars64[i, : len(s64)] = bytearray(s64)
+        lengths64[i] = len(s64)
+    c64 = jnp.asarray(chars64)
+    l64 = jnp.asarray(lengths64)
+    m64 = BitplaneMatcher(model64, columns="witness")
+    s_bp = benchmark_chained(kout_of(m64.core), (c64, l64), ks=(1, 3))
+    print(f"D: bitplane 64KB (NT=1): {s_bp*1e3:8.3f} ms = "
+          f"{B64*L64/s_bp/1e9:.1f} GB/s", flush=True)
+except Exception as e:
+    print(f"D: bitplane 64KB FAILED: {type(e).__name__}: {str(e)[:200]}",
+          flush=True)
+try:
+    from halo2_regex_tpu.ops.pallas_scan import PallasMatcher
+
+    p64 = PallasMatcher(model64)
+
+    def seg_one(c, ln):
+        out = p64._run(c, ln)
+        return {k: out[k] for k in
+                ("states", "all_substr_ids", "masked_characters", "mask",
+                 "match_ok")}
+
+    KEYS_SAVE = WITNESS_KEYS
+    def mk_seg(K):
+        @jax.jit
+        def f(c, ln):
+            outs = []
+            for i in range(K):
+                out = seg_one(c ^ np.uint8(i), ln ^ i)
+                outs.append(tuple(out.values()))
+            return outs
+        return f
+    s_seg = benchmark_chained(mk_seg, (c64, l64), ks=(1, 3))
+    print(f"D: segmented 64KB:      {s_seg*1e3:8.3f} ms = "
+          f"{B64*L64/s_seg/1e9:.1f} GB/s", flush=True)
+except Exception as e:
+    print(f"D: segmented 64KB FAILED: {type(e).__name__}: {str(e)[:200]}",
+          flush=True)
+
 print(f"total probe time: {time.time()-t0:.0f} s", flush=True)

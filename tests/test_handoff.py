@@ -144,3 +144,34 @@ def test_cli_handoff(tmp_path, capsys):
         cli_main(["handoff", "--model", str(mp), "--output", str(hp), "nope"])
         == 1
     )
+
+
+def test_cpp_external_verifier(tmp_path, dump):
+    """A standalone C++ consumer (no Python package dependency) accepts the
+    golden dump and rejects a tampered one — the external-prover smoke
+    test in a second language."""
+    import subprocess
+    from pathlib import Path as P
+
+    src = (
+        P(__file__).parent.parent
+        / "halo2_regex_tpu"
+        / "native"
+        / "handoff_check.cpp"
+    )
+    exe = tmp_path / "handoff_check"
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", str(exe), str(src)], check=True
+    )
+    good = tmp_path / "good.txt"
+    good.write_text(dump)
+    r = subprocess.run([str(exe), str(good)], capture_output=True, text=True)
+    assert r.returncode == 0 and "clean" in r.stdout
+
+    lines = dump.splitlines()
+    idx = lines.index("[advice states def=0]")
+    lines[idx + 4] = str((int(lines[idx + 4]) + 1) % 20)
+    bad = tmp_path / "bad.txt"
+    bad.write_text("\n".join(lines) + "\n")
+    r = subprocess.run([str(exe), str(bad)], capture_output=True, text=True)
+    assert r.returncode == 1 and "lookup(iii)" in r.stderr

@@ -62,6 +62,31 @@ def main() -> int:
         scan_roofline_bytes_per_sec,
     )
 
+    # The relay tunnel can be transiently unavailable (this round it was
+    # down for hours at a stretch): probe device acquisition in a
+    # SUBPROCESS (a failed in-process backend init can be cached by JAX)
+    # and retry within a bounded window, then fall back to CPU so the
+    # driver always gets a JSON line rather than a crash.
+    tpu_unavailable = None
+    retry_until = t_start + float(os.environ.get("H2R_BENCH_DEV_RETRY_SEC", 900))
+    import subprocess
+
+    while True:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if probe.returncode == 0:
+            tpu_unavailable = None
+            break
+        tpu_unavailable = probe.stderr.strip().splitlines()[-1][:160] if probe.stderr else "unknown"
+        print(f"# device probe failed ({tpu_unavailable})", file=sys.stderr)
+        if time.time() > retry_until:
+            jax.config.update("jax_platforms", "cpu")
+            break
+        time.sleep(60)
+
     # The bitplane backend packs 32 strings per int32 lane and needs ~32k
     # strings to fill the VPU's 8x128 lanes; BASELINE's original config[2]
     # shape (batch=4096) is also measured and reported alongside.
@@ -310,6 +335,7 @@ def main() -> int:
         "full_columns_bytes_per_input_byte": (full_bytes / (B * L))
         if full_bytes
         else None,
+        "tpu_unavailable": tpu_unavailable,
         "total_runtime_sec": round(time.time() - t_start, 1),
     }
     print(json.dumps(result))

@@ -310,6 +310,18 @@ def main() -> int:
             pass
 
     target = 0.8 * scan_roofline_bytes_per_sec()
+    # Staged-pipeline HBM utilization: the pipeline's analytic per-stage
+    # traffic (tools/traffic_model.py; 16.5 B/input byte for the bitplane
+    # witness config) divided by measured time and the device's peak BW —
+    # the honest "fraction of light speed" for the architecture as built
+    # (vs_baseline prices a hypothetical single fused kernel at 6 B/byte;
+    # see docs/PERF.md round-3 traffic-floor section).
+    hbm_util = None
+    if backend_name == "bitplane":
+        from halo2_regex_tpu.utils.profiling import device_specs  # noqa: E402
+
+        traffic_bytes = 16.5 * B * L
+        hbm_util = traffic_bytes / sec_med / device_specs()["hbm_gbps"]
     result = {
         "metric": "dfa_scan_bytes_per_sec_chip",
         "value": value,
@@ -336,6 +348,7 @@ def main() -> int:
         if full_bytes
         else None,
         "tpu_unavailable": tpu_unavailable,
+        "hbm_utilization": hbm_util,
         "total_runtime_sec": round(time.time() - t_start, 1),
     }
     print(json.dumps(result))

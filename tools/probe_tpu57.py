@@ -103,29 +103,51 @@ for name, env, kw in CONFIGS_A:
     for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
         os.environ.pop(k, None)
     os.environ.update(env)
-    matchersA[name] = BitplaneMatcher(model, columns="witness", **kw)
+    try:
+        matchersA[name] = BitplaneMatcher(model, columns="witness", **kw)
+    except Exception as e:
+        print(f"A: {name} construction FAILED: {type(e).__name__}", flush=True)
 for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
     os.environ.pop(k, None)
 best = {}
+dead = set()
 for rnd in range(3):
     for name, _env, _kw in CONFIGS_A:
+        if name not in matchersA or name in dead:
+            continue
         m = matchersA[name]
-        s = benchmark_chained(kout_of(m.core), (chars_j, lengths_j), ks=(1, 4))
+        try:
+            s = benchmark_chained(
+                kout_of(m.core), (chars_j, lengths_j), ks=(1, 4)
+            )
+        except Exception as e:
+            print(f"A: {name} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            dead.add(name)
+            continue
         if s > 1e-7:
             best[name] = min(best.get(name, float("inf")), s)
         print(f"A r{rnd}: {name}: {s*1e3:7.3f} ms", flush=True)
 for name, s in best.items():
     print(f"A BEST {name}: {s*1e3:.3f} ms = {B*L/s/1e9:.1f} GB/s", flush=True)
 
-# hardware bit-exactness: every config vs the bytes/u1 baseline
+# hardware bit-exactness: every surviving config vs the bytes/u1 baseline
 ob = {k: np.asarray(v)
       for k, v in matchersA["bytes/en-xla/u1"]._run(chars_j, lengths_j).items()}
 for name, _env, _kw in CONFIGS_A[1:]:
-    ok = {k: np.asarray(v)
-          for k, v in matchersA[name]._run(chars_j, lengths_j).items()}
-    for k in ob:
-        np.testing.assert_array_equal(ob[k], ok[k], err_msg=f"{name} {k}")
-    print(f"A: {name} bit-exact on hardware", flush=True)
+    if name not in matchersA or name in dead:
+        continue
+    try:
+        ok = {k: np.asarray(v)
+              for k, v in matchersA[name]._run(chars_j, lengths_j).items()}
+        for k in ob:
+            np.testing.assert_array_equal(ob[k], ok[k], err_msg=f"{name} {k}")
+        print(f"A: {name} bit-exact on hardware", flush=True)
+    except AssertionError as e:
+        print(f"A: {name} BIT-MISMATCH: {str(e)[:200]}", flush=True)
+    except Exception as e:
+        print(f"A: {name} exactness check failed: {type(e).__name__}",
+              flush=True)
 
 # --------------------------------------------------------------- B: marker A/B
 expect = np.array(

@@ -358,4 +358,59 @@ except Exception as e:
     print(f"D: segmented 64KB FAILED: {type(e).__name__}: {str(e)[:200]}",
           flush=True)
 
+# ------------------------------------- E: mid-tier structured model
+# VERDICT r2 #4: config3_structured_stress (693 live states, 2530 step
+# ops) at 9.6 GB/s. Measure with the round-3 stages + unroll to see if
+# the general levers reach the 20 GB/s bar, else the depth-floor note
+# stands (the serial chain is ~2.6 M vops at B=32k; ops/cycle from
+# probe56 A bounds it).
+try:
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+
+    rngs = np.random.default_rng(1)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    words = sorted({
+        "".join(letters[i] for i in rngs.integers(0, 26, int(rngs.integers(5, 9))))
+        for _ in range(200)
+    })
+    scfg = DecomposedRegexConfig.from_json({
+        "max_byte_size": 1024,
+        "parts": [
+            {"is_public": False, "regex_def": "tag:", "max_size": 4},
+            {"is_public": False, "regex_def": "(" + "|".join(words) + ")",
+             "max_size": 16},
+            {"is_public": False, "regex_def": "\r\n", "max_size": 2},
+        ],
+    })
+    smodel = CompiledRegexModel.from_decomposed([scfg], max_chars_size=1024)
+    schars = rngs.integers(32, 127, size=(B, 1024)).astype(np.uint8)
+    slengths = np.full((B,), 1024, np.int32)
+    sc = jnp.asarray(schars)
+    sl = jnp.asarray(slengths)
+    for name, env, kw in (
+        ("struct bytes/u1", {}, dict(unroll=1)),
+        ("struct kdecode/enpack/u4",
+         dict(H2R_EMIT="kdecode", H2R_EN_PACK="1"), dict(unroll=4)),
+    ):
+        for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
+            os.environ.pop(k, None)
+        os.environ.update(env)
+        try:
+            ms = BitplaneMatcher(smodel, columns="witness", **kw)
+            bestE = float("inf")
+            for rnd in range(2):
+                sE = benchmark_chained(kout_of(ms.core), (sc, sl), ks=(1, 3))
+                if sE > 1e-7:
+                    bestE = min(bestE, sE)
+            print(f"E: {name}: {bestE*1e3:8.3f} ms = "
+                  f"{B*1024/bestE/1e9:.1f} GB/s", flush=True)
+        except Exception as e:
+            print(f"E: {name} FAILED: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+    for k in ("H2R_EMIT", "H2R_EN_PACK", "H2R_QPACK"):
+        os.environ.pop(k, None)
+except Exception as e:
+    print(f"E: structured setup FAILED: {type(e).__name__}", flush=True)
+
 print(f"total probe time: {time.time()-t0:.0f} s", flush=True)

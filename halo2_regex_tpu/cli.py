@@ -182,7 +182,11 @@ def _cmd_scan(args) -> int:
     from .ops.reference import extract_substrings
 
     model = CompiledRegexModel.load(args.model)
-    matcher, _ = best_matcher(model, backend=args.backend)
+    # Counting-only scans take the match-only pipeline on the bitplane
+    # backend (~2.8 B/byte HBM traffic: no witness decode at all);
+    # --print-matches needs the full column set for extraction.
+    kw = {} if args.print_matches else {"columns": "match"}
+    matcher, _ = best_matcher(model, backend=args.backend, **kw)
     from .utils.jobs import ScanJob
 
     def _print_matches(res, chars, lengths, n_valid):

@@ -35,7 +35,8 @@ def best_matcher(model, backend: str = "auto", **kwargs):
             if name == "pallas":
                 from .pallas_scan import PallasMatcher
 
-                return PallasMatcher(model, **kwargs), "pallas"
+                kw = {k: v for k, v in kwargs.items() if k != "columns"}
+                return PallasMatcher(model, **kw), "pallas"
             if name == "xla":
                 return BatchMatcher(model), "xla"
             raise ValueError(f"unknown backend {name!r}")

@@ -412,6 +412,9 @@ class BitplaneMatcher:
         columns: str = "full",  # "full" (RegexResult set) | "witness"
         #   (compact ~6 B/input-byte emission: states, masked ids, masked
         #   chars, one packed flags byte — the BASELINE traffic model)
+        #   | "match" (round 3: match_ok/accepted/final states ONLY —
+        #   pack + scan + a boundary-reduce kernel, ~2.8 B/byte traffic;
+        #   the corpus-filtering serving mode)
         class_stage=None,  # None = "binary": compute byte->class planes
         #   position-parallel in the pack kernel so the sequential step
         #   circuit takes class planes (smaller serial chain).  "binary"
@@ -437,6 +440,10 @@ class BitplaneMatcher:
         self.model = model
         self.interpret = interpret
         self.compact = compact
+        if columns not in ("full", "witness", "match"):
+            raise ValueError(
+                f"columns={columns!r}: expected full/witness/match"
+            )
         self.columns = columns
         n_defs = model.n_defs
         if unroll is None:
@@ -1337,6 +1344,77 @@ class BitplaneMatcher:
 
         self._make_post = make_post
 
+        # ----- fb-only kernel (columns="match") -----
+        # Match-only serving (corpus filtering / counting) needs none of
+        # the witness columns: this kernel reduces each def's boundary
+        # state straight from the log stack (+ enable plane) — the whole
+        # "post + decode + assembly" tail collapses to a [B]-sized
+        # verdict.  Pipeline traffic drops to ~2.8 B/input byte and the
+        # serial scan becomes the only meaningful cost.
+        def make_fb_only(NWS: int):
+            sbs = [c.sb for c in self.circuits]
+            soff = self._sb_off
+
+            def kern(log_ref, en_ref, fb_ref):
+                en = en_ref[0, 0]
+                zrow = jnp.zeros((1, LANE), jnp.int32)
+                en_next = jnp.concatenate([en[1:], zrow], 0)
+                bnd = en & ~en_next
+                empty = ~en[0]
+                for d, circ in enumerate(self.circuits):
+                    for j in range(8):
+                        if j < sbs[d]:
+                            x = bnd & log_ref[0, soff[d] + j]
+                            while x.shape[0] > 1:
+                                half = x.shape[0] // 2
+                                y = x[:half] | x[half : 2 * half]
+                                if x.shape[0] % 2:
+                                    y = jnp.concatenate(
+                                        [y[:1] | x[-1:], y[1:]], 0
+                                    )
+                                x = y
+                            first_j = jnp.int32(
+                                -1 if (circ.first_state >> j) & 1 else 0
+                            )
+                            fb_ref[0, d, j] = x[0] | (empty & first_j)
+                        else:
+                            fb_ref[0, d, j] = jnp.zeros((LANE,), jnp.int32)
+
+            return pl.pallas_call(
+                kern,
+                grid=(NWS,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (1, SB_sum, L_pad, LANE),
+                        lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (1, 1, L_pad, LANE),
+                        lambda b: (b, 0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, n_defs, 8, LANE),
+                    lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (NWS, n_defs, 8, LANE), jnp.int32
+                ),
+                interpret=interpret,
+                compiler_params=None
+                if interpret
+                else pltpu.CompilerParams(
+                    vmem_limit_bytes=int(
+                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
+                    )
+                ),
+            )
+
+        self._make_fb_only = make_fb_only
+
         # ----- standalone decode kernel (H2R_EMIT=kdecode) -----
         # Replaces the XLA tail's per-field transpose passes AND the masked-
         # chars pass with ONE light kernel: read the byte-group words once,
@@ -1519,6 +1597,25 @@ class BitplaneMatcher:
                 logs_stack[:, self._sb_off[d] : self._sb_off[d] + c.sb]
                 for d, c in enumerate(self.circuits)
             ]
+
+            # match-only serving: no witness columns at all — reduce the
+            # boundary states and return the [B]-sized verdicts
+            if columns == "match":
+                fbm = make_fb_only(NWS)(logs_stack, en_plane[:, None])
+                final = final_from_fb(fbm, B)
+                accepted = model_arrays["accept_mask"][
+                    jnp.arange(n_defs)[None, :], final
+                ]
+                has_dead = final == model_arrays["dead_states"][None, :]
+                out = dict(
+                    final_states=final,
+                    accepted=accepted,
+                    has_dead=has_dead,
+                    match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+                )
+                if B_orig != B:
+                    out = {k: v[:B_orig] for k, v in out.items()}
+                return out
 
             # 3+4. tag + id-sum + mask FSMs
             fb = None  # final-state boundary planes (bytes/kdecode posts)
@@ -1782,8 +1879,8 @@ class BitplaneMatcher:
         chars = jnp.asarray(chars, jnp.uint8)
         lengths = jnp.asarray(lengths, jnp.int32)
         out = self._run(chars, lengths)
-        if self.columns == "witness":
-            return out  # compact emission dict (see constructor docstring)
+        if self.columns in ("witness", "match"):
+            return out  # emission dict (see constructor docstring)
         return RegexResult(**out)
 
     def scan_planes(self, bits_stack: jnp.ndarray, d: int = 0) -> jnp.ndarray:

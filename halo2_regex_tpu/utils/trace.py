@@ -60,7 +60,13 @@ class Counters:
     def update(self, result, lengths, n_valid: Optional[int] = None) -> None:
         import numpy as np
 
-        ok = np.asarray(result.match_ok)
+        # result may be a RegexResult or an emission dict (the bitplane
+        # backend's columns="witness"/"match" modes)
+        get = (
+            result.__getitem__ if isinstance(result, dict)
+            else lambda k: getattr(result, k)
+        )
+        ok = np.asarray(get("match_ok"))
         n = int(ok.shape[0]) if n_valid is None else n_valid
         ok = ok[:n]
         self.batches += 1
@@ -68,7 +74,7 @@ class Counters:
         self.bytes_scanned += int(np.asarray(lengths)[:n].sum())
         self.matched += int(ok.sum())
         self.failed += int((~ok).sum())
-        self.dead += int(np.asarray(result.has_dead)[:n].any(axis=-1).sum())
+        self.dead += int(np.asarray(get("has_dead"))[:n].any(axis=-1).sum())
 
     def finish(self) -> "Counters":
         if self._t0:

@@ -449,3 +449,38 @@ def test_qpack_fused_input_bit_exact(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(base[k]), np.asarray(out[k]), err_msg=k
         )
+
+
+def test_match_only_mode():
+    """columns="match": verdict-only pipeline (no witness decode) agrees
+    with the full columns and feeds ScanJob counters (dict results)."""
+    import numpy as np
+
+    from fixtures import CONFIGS
+    from halo2_regex_tpu.compiler.decomposed import DecomposedRegexConfig
+    from halo2_regex_tpu.models.compiled import CompiledRegexModel
+    from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+    from halo2_regex_tpu.utils.trace import Counters
+
+    model = CompiledRegexModel.from_decomposed(
+        DecomposedRegexConfig.from_json(CONFIGS["regex3"]), max_chars_size=64
+    )
+    rng = np.random.default_rng(3)
+    B = 4096
+    chars = rng.integers(0, 256, size=(B, 64)).astype(np.uint8)
+    lengths = rng.integers(0, 65, size=(B,)).astype(np.int32)
+    chars[5, :22] = np.frombuffer(b"from:alice@gmail.com\r\n", np.uint8)
+    lengths[5] = 22
+    full = BitplaneMatcher(model, interpret=True)(chars, lengths)
+    m = BitplaneMatcher(model, columns="match", interpret=True)
+    out = m(chars, lengths)
+    assert set(out) == {"final_states", "accepted", "has_dead", "match_ok"}
+    np.testing.assert_array_equal(
+        np.asarray(out["match_ok"]), np.asarray(full.match_ok)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["accepted"]), np.asarray(full.accepted)
+    )
+    c = Counters().start()
+    c.update(out, lengths)
+    assert c.matched == int(np.asarray(full.match_ok).sum())

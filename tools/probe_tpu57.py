@@ -413,4 +413,44 @@ try:
 except Exception as e:
     print(f"E: structured setup FAILED: {type(e).__name__}", flush=True)
 
+# --------------------------------- F: match-only serving pipeline
+# columns="match": pack -> scan -> boundary-reduce, ~2.8 B/byte traffic.
+# The corpus-filtering headline: with the decode gone the serial scan is
+# the only meaningful cost.
+try:
+    MATCH_KEYS = ("final_states", "accepted", "has_dead", "match_ok")
+
+    def kout_match(core):
+        def make(K):
+            @jax.jit
+            def f(c, ln):
+                outs = []
+                for i in range(K):
+                    out = core(c ^ np.uint8(i), ln ^ i)
+                    outs.append(tuple(out[k] for k in MATCH_KEYS))
+                return outs
+            return f
+        return make
+
+    for uname, kw in (("u1", dict(unroll=1)), ("u4", dict(unroll=4))):
+        mm = BitplaneMatcher(model, columns="match", **kw)
+        bestF = float("inf")
+        for rnd in range(3):
+            sF = benchmark_chained(
+                kout_match(mm.core), (chars_j, lengths_j), ks=(1, 4)
+            )
+            if sF > 1e-7:
+                bestF = min(bestF, sF)
+        print(f"F: match-only {uname}: {bestF*1e3:8.3f} ms = "
+              f"{B*L/bestF/1e9:.1f} GB/s", flush=True)
+    # correctness vs the full pipeline on hardware
+    mm = BitplaneMatcher(model, columns="match")
+    om = mm._run(chars_j, lengths_j)
+    np.testing.assert_array_equal(
+        np.asarray(om["match_ok"]), ob["match_ok"])
+    print("F: match-only bit-exact on hardware", flush=True)
+except Exception as e:
+    print(f"F: match-only FAILED: {type(e).__name__}: {str(e)[:200]}",
+          flush=True)
+
 print(f"total probe time: {time.time()-t0:.0f} s", flush=True)

@@ -195,6 +195,28 @@ def bench2(quick):
         sec_per_batch=dt,
     )
 
+    # Match-only serving throughput (round 3): the corpus-filtering
+    # pipeline — no witness decode, ~2.8 B/byte HBM traffic.
+    if backend == "bitplane":
+        try:
+            from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+
+            mm = BitplaneMatcher(model, columns="match")
+            dtm, estm = _throughput(
+                mm, chars, lengths, iters=3 if quick else 5,
+                with_estimator=True,
+            )
+            _report(
+                "config2_match_only", backend="bitplane", batch=B,
+                bytes_per_sec=B * 1024 / dtm, estimator=estm,
+                sec_per_batch=dtm,
+            )
+        except Exception as e:
+            _report(
+                "config2_match_only",
+                error=f"{type(e).__name__}: {str(e)[:160]}",
+            )
+
 
 def bench3(quick):
     """Large-DFA stress: ~1K-state synthetic table, long inputs."""

@@ -72,15 +72,21 @@ def main() -> int:
     import subprocess
 
     while True:
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            capture_output=True, text=True, timeout=1800,
-        )
-        if probe.returncode == 0:
-            tpu_unavailable = None
-            break
-        tpu_unavailable = probe.stderr.strip().splitlines()[-1][:160] if probe.stderr else "unknown"
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=1800,
+            )
+            if probe.returncode == 0:
+                tpu_unavailable = None
+                break
+            err_lines = (probe.stderr or "").strip().splitlines()
+            tpu_unavailable = err_lines[-1][:160] if err_lines else "unknown"
+        except subprocess.TimeoutExpired:
+            tpu_unavailable = "device probe timed out (tunnel hang)"
+        except Exception as e:  # never crash: the driver needs a JSON line
+            tpu_unavailable = f"{type(e).__name__}: {str(e)[:120]}"
         print(f"# device probe failed ({tpu_unavailable})", file=sys.stderr)
         if time.time() > retry_until:
             jax.config.update("jax_platforms", "cpu")

@@ -329,9 +329,22 @@ def bench4(quick):
 
     n = len(jax.devices())
     if n == 1:
+        if os.environ.get("H2R_CONFIG4_CHILD"):
+            # the virtual-mesh child still saw one device (e.g. a
+            # conflicting XLA_FLAGS device count): report rather than
+            # self-spawn forever
+            _report(
+                "config4_scaling",
+                error="virtual-mesh child saw a single device; check "
+                "XLA_FLAGS for a conflicting "
+                "xla_force_host_platform_device_count",
+            )
+            return
+        import re as _re
         import subprocess
 
         env = dict(os.environ)
+        env["H2R_CONFIG4_CHILD"] = "1"
         # the axon sitecustomize must NOT leak into the child: it overrides
         # JAX_PLATFORMS and grabs the (single) TPU tunnel, hanging both
         env["PYTHONPATH"] = os.pathsep.join(
@@ -340,11 +353,15 @@ def bench4(quick):
             if p and ".axon_site" not in p
         )
         env["JAX_PLATFORMS"] = "cpu"
-        xla = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in xla:
-            env["XLA_FLAGS"] = (
-                xla + " --xla_force_host_platform_device_count=8"
-            ).strip()
+        # force 8 virtual devices, REPLACING any existing count
+        xla = _re.sub(
+            r"--xla_force_host_platform_device_count=\d+",
+            "",
+            env.get("XLA_FLAGS", ""),
+        ).strip()
+        env["XLA_FLAGS"] = (
+            xla + " --xla_force_host_platform_device_count=8"
+        ).strip()
         cmd = [sys.executable, os.path.abspath(__file__), "--configs", "4"]
         if quick:
             cmd.append("--quick")

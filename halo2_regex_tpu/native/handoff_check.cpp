@@ -30,7 +30,21 @@
 
 using Row = std::vector<long long>;
 
+static int run(int argc, char** argv);
+
 int main(int argc, char** argv) {
+  // malformed external input must produce a diagnostic + exit 2, never an
+  // unhandled-exception abort (missing sections -> map::at, short rows ->
+  // vector::at)
+  try {
+    return run(argc, argv);
+  } catch (const std::exception& e) {
+    std::fprintf(stderr, "malformed handoff file: %s\n", e.what());
+    return 2;
+  }
+}
+
+static int run(int argc, char** argv) {
   if (argc != 2) {
     std::fprintf(stderr, "usage: %s <handoff.txt>\n", argv[0]);
     return 2;

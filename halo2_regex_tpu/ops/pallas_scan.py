@@ -307,8 +307,9 @@ class PallasMatcher:
         if grid_mode == "chunked":
             raise ValueError(
                 "grid_mode='chunked' was removed (Mosaic SIGABRT, "
-                "tools/probe_tpu28); use 'segmented' — the archived kernels "
-                "live in tools/archive_chunked_kernels.py"
+                "tools/probe_tpu28); use 'segmented'. To re-probe on a new "
+                "toolchain, re-integrate the archived kernel source from "
+                "tools/archive_chunked_kernels.py, then run probe_tpu28"
             )
         budget_chk = int(float(__import__("os").environ.get(
             "H2R_VMEM_BUDGET", 56e6)))

@@ -482,24 +482,7 @@ class SeqShardedMatcher:
             lambda chars, lengths: fn(chars, lengths, None),
             mesh=mesh,
             in_specs=(P(DATA_AXIS, SEQ_AXIS), P(DATA_AXIS)),
-            out_specs=dict(
-                enable=P(DATA_AXIS, SEQ_AXIS),
-                states_after=P(DATA_AXIS, None, SEQ_AXIS),
-                substr_ids_per_def=P(DATA_AXIS, None, SEQ_AXIS),
-                is_start_per_def=P(DATA_AXIS, None, SEQ_AXIS),
-                endf_per_def=P(DATA_AXIS, None, SEQ_AXIS),
-                substr_id_sum=P(DATA_AXIS, SEQ_AXIS),
-                is_start_sum=P(DATA_AXIS, SEQ_AXIS),
-                is_end_sum=P(DATA_AXIS, SEQ_AXIS),
-                fwd_mask=P(DATA_AXIS, SEQ_AXIS),
-                bwd_mask=P(DATA_AXIS, SEQ_AXIS),
-                mask=P(DATA_AXIS, SEQ_AXIS),
-                masked_characters=P(DATA_AXIS, SEQ_AXIS),
-                all_substr_ids=P(DATA_AXIS, SEQ_AXIS),
-                accepted=P(DATA_AXIS, None),
-                has_dead=P(DATA_AXIS, None),
-                match_ok=P(DATA_AXIS),
-            ),
+            out_specs=dict(_SEQ_OUT_SPECS),
             check_vma=False,
         )
         self._run = jax.jit(sharded)

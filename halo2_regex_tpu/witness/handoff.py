@@ -109,12 +109,52 @@ def verify_handoff(sections: Dict[str, np.ndarray]) -> List[str]:
     (iv)/(v) endpoint membership (lib.rs:207-284), the enable gates
     (lib.rs:173-204), and the instance columns' mask consistency."""
     errors: List[str] = []
-    enable = sections["advice char_enable"]
-    chars = sections["advice characters"]
-    mx = len(enable)
     n_defs = sum(
         1 for k in sections if k.startswith("table transition def=")
     )
+    # structural validation first: a malformed/truncated dump must come
+    # back as error entries, not a traceback (this runs on UNTRUSTED
+    # external text — handoff_check.cpp enforces the same shape rules)
+    required = ["advice char_enable", "advice characters",
+                "instance masked_characters", "instance all_substr_ids"]
+    for d in range(n_defs):
+        required += [
+            f"table transition def={d}", f"table endpoints def={d}",
+            f"advice states def={d}", f"advice substr_ids def={d}",
+            f"advice start_enable def={d}", f"advice end_enable def={d}",
+        ]
+    missing = [k for k in required if k not in sections]
+    if n_defs == 0:
+        missing.append("table transition def=0")
+    if missing:
+        return [f"structure: missing section {k!r}" for k in missing]
+    enable = sections["advice char_enable"]
+    chars = sections["advice characters"]
+    mx = len(enable)
+    for d in range(n_defs):
+        if len(sections[f"advice states def={d}"]) != mx + 1:
+            errors.append(
+                f"structure: def {d} states has "
+                f"{len(sections[f'advice states def={d}'])} rows, "
+                f"expected {mx + 1}"
+            )
+        for name in (f"advice substr_ids def={d}",
+                     f"advice start_enable def={d}",
+                     f"advice end_enable def={d}"):
+            if len(sections[name]) != mx:
+                errors.append(
+                    f"structure: {name} has {len(sections[name])} rows, "
+                    f"expected {mx}"
+                )
+    for name in ("advice characters", "instance masked_characters",
+                 "instance all_substr_ids"):
+        if len(sections[name]) != mx:
+            errors.append(
+                f"structure: {name} has {len(sections[name])} rows, "
+                f"expected {mx}"
+            )
+    if errors:
+        return errors
     if enable[0] not in (0, 1):
         errors.append("gate(i): enable[0] not boolean")
     for i in range(1, mx):

@@ -175,3 +175,20 @@ def test_cpp_external_verifier(tmp_path, dump):
     bad.write_text("\n".join(lines) + "\n")
     r = subprocess.run([str(exe), str(bad)], capture_output=True, text=True)
     assert r.returncode == 1 and "lookup(iii)" in r.stderr
+
+
+def test_malformed_dump_structural_errors(dump):
+    """A truncated/hand-edited dump yields structured error entries, not a
+    traceback (the verifier consumes untrusted text)."""
+    sections = load_prover_rows(dump)
+    # missing section
+    bad = {k: v for k, v in sections.items() if k != "advice characters"}
+    errs = verify_handoff(bad)
+    assert errs and all("structure" in e for e in errs)
+    # truncated states column
+    import numpy as np
+
+    bad2 = dict(sections)
+    bad2["advice states def=0"] = sections["advice states def=0"][:-1]
+    errs2 = verify_handoff(bad2)
+    assert any("states has" in e for e in errs2)

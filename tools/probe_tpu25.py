@@ -49,7 +49,8 @@ def main():
         m3 = PallasMatcher(model3, max_pairs=4096)
         print(
             f"config3 matcher: mode={m3.mode} grid={m3.grid_mode} "
-            f"TB={m3.batch_tile} LCC={m3.chunk_split} hi_lo={m3.hi_lo}",
+            f"TB={m3.batch_tile} LCC={getattr(m3, 'chunk_split', '-')} "
+            f"hi_lo={m3.hi_lo}",
             flush=True,
         )
         res = m3(chars3[:8], lengths3[:8])

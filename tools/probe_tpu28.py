@@ -54,6 +54,10 @@ def main():
             print(f"{name}: OK sum={int(np.asarray(r).sum()) & 0xFFFF}",
                   flush=True)
             return True
+        except ValueError as e:
+            print(f"{name}: SKIPPED (mode removed in r3 — re-integrate "
+                  f"tools/archive_chunked_kernels.py to re-probe): "
+                  f"{str(e)[:100]}", flush=True)
         except Exception as e:
             print(f"{name}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
             return False
@@ -138,6 +142,10 @@ def main():
     )
     chars_b = rng.integers(32, 127, size=(TB, L)).astype(np.uint8)
     lengths_b = np.full((TB,), L, np.int32)
+    # NOTE (round 3): grid_mode="chunked" was removed from PallasMatcher
+    # (Mosaic SIGABRT; kernels archived in tools/archive_chunked_kernels.py).
+    # Re-probing the SIGABRT on a new toolchain requires re-integrating the
+    # archived kernel source first — these cases then exercise it.
     for name, kw in [
         ("v3 real chunked bf16", dict()),
         ("v4 real chunked int8", dict(table_dtype="int8")),
@@ -153,6 +161,10 @@ def main():
             )
             exact = (np.asarray(res.states)[0] == oracle.states).all()
             print(f"{name}: OK exact={bool(exact)}", flush=True)
+        except ValueError as e:
+            print(f"{name}: SKIPPED (mode removed in r3 — re-integrate "
+                  f"tools/archive_chunked_kernels.py to re-probe): "
+                  f"{str(e)[:100]}", flush=True)
         except Exception as e:
             print(f"{name}: FAIL {type(e).__name__}: {str(e)[:160]}", flush=True)
 

@@ -464,6 +464,14 @@ class SpeculativeSeqMatcher:
         lengths = jnp.asarray(lengths, jnp.int32)
         return self._run(chars, lengths)
 
+    def match(self, chars, lengths) -> RegexResult:
+        """Full RegexResult view (API parity with SeqShardedMatcher)."""
+        chars = jnp.asarray(chars, jnp.uint8)
+        lengths = jnp.asarray(lengths, jnp.int32)
+        out = dict(self._run(chars, lengths))
+        out.pop("spec_rounds", None)
+        return _assemble_result(self.model, out, chars, lengths)
+
 
 class SeqShardedMatcher:
     """Matcher whose byte axis is sharded over the mesh's seq axis (and the
@@ -499,19 +507,22 @@ class SeqShardedMatcher:
         light elementwise work, left to XLA."""
         chars = jnp.asarray(chars, jnp.uint8)
         lengths = jnp.asarray(lengths, jnp.int32)
-        out = self._run(chars, lengths)
+        return _assemble_result(self.model, self._run(chars, lengths), chars, lengths)
+
+
+def _assemble_result(model, out, chars, lengths) -> RegexResult:
         B, L = chars.shape
-        n_defs = self.model.n_defs
+        n_defs = model.n_defs
         enable = out["enable"]
         chars_i32 = chars.astype(jnp.int32) * enable
         after = out["states_after"]  # [B, n_defs, L] (raw beyond len)
-        first = jnp.asarray(self.model.first_states)[None, :, None]
+        first = jnp.asarray(model.first_states)[None, :, None]
         raw = jnp.concatenate(
             [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
         )
         posL1 = jnp.arange(L + 1, dtype=jnp.int32)
         in_range = posL1[None, None, :] <= lengths[:, None, None]
-        dummy = jnp.asarray(self.model.dummy_states)[None, :, None]
+        dummy = jnp.asarray(model.dummy_states)[None, :, None]
         states = jnp.where(in_range, raw, dummy)
         # flags: kernel's is_start_sum covers positions [0..L-1]; index L is
         # structurally false (lib.rs:869). is_end_sum is the shifted column;

@@ -105,3 +105,15 @@ def test_seq_axis_size_one(model3):
     spec = SpeculativeSeqMatcher(model3, mesh1, per_shard="xla")(chars, lengths)
     _assert_equal(exact, {k: spec[k] for k in exact})
     assert int(np.asarray(spec["spec_rounds"])[0]) == 1
+
+
+def test_speculative_match_api(model3, mesh):
+    """SpeculativeSeqMatcher.match returns the same full RegexResult view
+    as SeqShardedMatcher.match (shared assembly)."""
+    chars, lengths = pack_batch(STRINGS, L)
+    a = SeqShardedMatcher(model3, mesh).match(chars, lengths)
+    b = SpeculativeSeqMatcher(model3, mesh).match(chars, lengths)
+    for f in a.field_names():
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f)), np.asarray(getattr(b, f)), err_msg=f
+        )

@@ -99,8 +99,24 @@ def main(argv=None) -> int:
         ("pack", chain(m._make_pack(NWS)), (R,)),
         ("scan", chain(m._make_scan_fused(NWS)), (bits,)),
         ("post", chain(lambda lg: post_fn(lg, en)), (logs,)),
-        ("full", mk_full, (chars_j,)),
     ]
+    # round-3 kernels, present per emission mode
+    if m._emit == "kdecode":
+        post_out = post_fn(logs, en)
+        g4 = (post_out[0] if isinstance(post_out, (tuple, list)) else post_out)
+        G = len(m._wgroups)
+        g4r = g4.reshape(NWS, G, 8, m.L_pad, 128)
+        ch_l4 = jax.lax.bitcast_convert_type(
+            chars_j.reshape(B, m.L_pad // 4, 4), jnp.int32
+        )
+        dec_fn = m._make_decode(NWS)
+        stages.append(
+            ("decode", chain(lambda g: dec_fn(g, ch_l4)), (g4r,))
+        )
+    stages.append(
+        ("fb_only", chain(lambda lg: m._make_fb_only(NWS)(lg, en)), (logs,))
+    )
+    stages.append(("full", mk_full, (chars_j,)))
     best = {}
     for rnd in range(args.rounds):
         for name, mk, a in stages:

@@ -58,6 +58,9 @@ def main() -> int:
     import jax  # noqa: E402
 
     from halo2_regex_tpu.models import zoo  # noqa: E402
+    from halo2_regex_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+    enable_compilation_cache()
     from halo2_regex_tpu.utils.profiling import (  # noqa: E402
         scan_roofline_bytes_per_sec,
     )

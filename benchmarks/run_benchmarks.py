@@ -464,6 +464,9 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from halo2_regex_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     benches = [bench0, bench1, bench2, bench3, bench4]
     for i in args.configs:
         try:

@@ -42,6 +42,9 @@ def main(argv=None) -> int:
 
     from halo2_regex_tpu.models import zoo
     from halo2_regex_tpu.ops.bitplane import BitplaneMatcher, raw_quads
+    from halo2_regex_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from halo2_regex_tpu.utils.profiling import benchmark_chained
 
     B, L = args.batch, args.length

@@ -40,12 +40,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from halo2_regex_tpu.models import zoo
 from halo2_regex_tpu.ops.bitplane import BitplaneMatcher, raw_quads
+from halo2_regex_tpu.utils.cache import enable_compilation_cache
 from halo2_regex_tpu.utils.profiling import benchmark_chained
 
-B, L = 32768, 1024
+# shapes overridable for CPU smoke-testing (H2R_PROBE_B must stay a
+# multiple of 4096 so the packed planes keep whole word groups)
+B = int(os.environ.get("H2R_PROBE_B", "32768"))
+L = int(os.environ.get("H2R_PROBE_L", "1024"))
 NWS = B // 32 // 128
 rng = np.random.default_rng(0)
 
+enable_compilation_cache()
 print(f"device: {jax.devices()[0]}", flush=True)
 t0 = time.time()
 

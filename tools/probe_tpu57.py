@@ -37,13 +37,17 @@ from halo2_regex_tpu.ops.bitplane import (
     pack_bytes,
     raw_quads,
 )
+from halo2_regex_tpu.utils.cache import enable_compilation_cache
 from halo2_regex_tpu.utils.profiling import benchmark_chained
 
-B, L = 32768, 1024
+# shapes overridable for CPU smoke-testing (B: multiple of 4096)
+B = int(os.environ.get("H2R_PROBE_B", "32768"))
+L = int(os.environ.get("H2R_PROBE_L", "1024"))
 NWS = B // 32 // 128
 LANE = 128
 rng = np.random.default_rng(0)
 
+enable_compilation_cache()
 print(f"device: {jax.devices()[0]}", flush=True)
 t0 = time.time()
 
@@ -274,7 +278,7 @@ for nm, s in bestB.items():
     print(f"B BEST {nm}: {s*1e3:.3f} ms = {B*L/s/1e9:.1f} GB/s", flush=True)
 
 # ------------------------------------------------- C: small-batch latency
-Bs = 4096  # one packed word group (the minimum plane width)
+Bs = min(4096, B)  # one packed word group (the minimum plane width)
 NWS_s = 1
 chars_s = chars[:Bs]
 lengths_s = lengths[:Bs]
@@ -309,8 +313,8 @@ for rnd in range(2):
 # analysis: B=4096 x 64KB email model (NT=1, 8x lane underfill) vs the
 # segmented split-Pallas path at the same shape.
 try:
-    L64 = 65536
-    B64 = 4096
+    L64 = int(os.environ.get("H2R_PROBE_L64", "65536"))
+    B64 = int(os.environ.get("H2R_PROBE_B64", "4096"))
     model64 = zoo.email_headers_model(max_chars_size=L64, headers=("from",))
     chars64 = np.zeros((B64, L64), np.uint8)
     lengths64 = np.zeros((B64,), np.int32)

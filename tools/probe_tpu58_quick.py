@@ -20,10 +20,14 @@ import numpy as np
 
 from halo2_regex_tpu.models import zoo
 from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+from halo2_regex_tpu.utils.cache import enable_compilation_cache
 from halo2_regex_tpu.utils.profiling import benchmark_chained
 
-B, L = 32768, 1024
+# shapes overridable for CPU smoke-testing (B: multiple of 4096)
+B = int(os.environ.get("H2R_PROBE_B", "32768"))
+L = int(os.environ.get("H2R_PROBE_L", "1024"))
 rng = np.random.default_rng(0)
+enable_compilation_cache()
 print(f"device: {jax.devices()[0]}", flush=True)
 t0 = time.time()
 

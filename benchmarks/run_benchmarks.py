@@ -217,6 +217,45 @@ def bench2(quick):
                 error=f"{type(e).__name__}: {str(e)[:160]}",
             )
 
+    # Extraction serving (round 3): scan + device-side compact run
+    # extraction (the examples/corpus_scan.py configuration) — only the
+    # (offset, len, id, bytes, match_ok) records leave the chip, so the
+    # unused witness columns are legitimately DCE'd.
+    if backend == "bitplane":
+        try:
+            from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+            from halo2_regex_tpu.ops.extract import extract_runs
+
+            mf = BitplaneMatcher(model, columns="full")
+
+            class _ExtractServing:
+                @staticmethod
+                def _run(c, ln):
+                    out = mf.core(c, ln)
+                    rec = extract_runs(
+                        out["all_substr_ids"],
+                        out["masked_characters"],
+                        max_runs=4,
+                        max_len=32,
+                    )
+                    rec["match_ok"] = out["match_ok"]
+                    return rec
+
+            dte, este = _throughput(
+                _ExtractServing, chars, lengths, iters=3 if quick else 5,
+                with_estimator=True,
+            )
+            _report(
+                "config2_extract_serving", backend="bitplane", batch=B,
+                bytes_per_sec=B * 1024 / dte, estimator=este,
+                sec_per_batch=dte, max_runs=4, max_len=32,
+            )
+        except Exception as e:
+            _report(
+                "config2_extract_serving",
+                error=f"{type(e).__name__}: {str(e)[:160]}",
+            )
+
 
 def bench3(quick):
     """Large-DFA stress: ~1K-state synthetic table, long inputs."""

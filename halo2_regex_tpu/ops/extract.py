@@ -65,9 +65,11 @@ def extract_runs(
         base = jnp.clip(offsets, 0, L - 1)  # [B, R]
         win = base[:, :, None] + jnp.arange(max_len)[None, None, :]
         win = jnp.clip(win, 0, L - 1)
+        # one [B, R*max_len] gather on the original rows (no [B, R, L]
+        # broadcast copy of the input)
         payload = jnp.take_along_axis(
-            chars[:, None, :].repeat(max_runs, 1).reshape(B * max_runs, L),
-            win.reshape(B * max_runs, max_len).astype(jnp.int32),
+            chars,
+            win.reshape(B, max_runs * max_len).astype(jnp.int32),
             axis=1,
         ).reshape(B, max_runs, max_len)
         inlen = jnp.arange(max_len)[None, None, :] < lengths[:, :, None]

@@ -188,6 +188,7 @@ NW = B // 32
 
 
 def make_marker_kernel(NWS_k, NT=2):
+    NT = min(NT, NWS_k)  # small smoke shapes: grid must stay >= 1
     def kern(st_ref, out_ref):
         planes = [st_ref[j] for j in range(8)]
         enp = st_ref[8]

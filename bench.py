@@ -70,8 +70,14 @@ def main() -> int:
     # SUBPROCESS (a failed in-process backend init can be cached by JAX)
     # and retry within a bounded window, then fall back to CPU so the
     # driver always gets a JSON line rather than a crash.
+    # Worst-case wall-clock bounds (round 4): r03's bench burned the whole
+    # driver budget inside this very resilience path (one 1800 s probe hang
+    # + 900 s retry window => rc=124, no JSON emitted).  Each probe attempt
+    # is now capped at 60 s and the total retry window at 240 s, so the CPU
+    # fallback line lands within ~5 minutes of a dead relay, always.
     tpu_unavailable = None
-    retry_until = t_start + float(os.environ.get("H2R_BENCH_DEV_RETRY_SEC", 900))
+    retry_until = t_start + float(os.environ.get("H2R_BENCH_DEV_RETRY_SEC", 240))
+    probe_timeout = float(os.environ.get("H2R_BENCH_DEV_PROBE_SEC", 60))
     import subprocess
 
     while True:
@@ -79,7 +85,7 @@ def main() -> int:
             probe = subprocess.run(
                 [sys.executable, "-c",
                  "import jax; print(jax.devices()[0].platform)"],
-                capture_output=True, text=True, timeout=1800,
+                capture_output=True, text=True, timeout=probe_timeout,
             )
             if probe.returncode == 0:
                 tpu_unavailable = None
@@ -101,6 +107,11 @@ def main() -> int:
     # shape (batch=4096) is also measured and reported alongside.
     B = int(os.environ.get("H2R_BENCH_BATCH", 32768))
     L = int(os.environ.get("H2R_BENCH_LEN", 1024))
+    if tpu_unavailable is not None:
+        # CPU fallback: shrink to a shape the XLA CPU path finishes in
+        # seconds — the number is a liveness signal, not a perf claim
+        # (it is emitted under a DISTINCT metric name below).
+        B = min(B, 1024)
     # Chained-iteration count: each K value is a separate jit compile and
     # remote compiles cost minutes on the relay — keep K small.
     iters = int(os.environ.get("H2R_BENCH_ITERS", 4))
@@ -245,6 +256,9 @@ def main() -> int:
     secs = []
     gap = float(os.environ.get("H2R_BENCH_REPEAT_GAP_SEC", 20))
     n_reps = int(os.environ.get("H2R_BENCH_REPEATS", 16))
+    if tpu_unavailable is not None:
+        # no tenancy noise to spread across on the CPU fallback
+        gap, n_reps = 0.0, 3
     # Physicality floor: under relay noise the K-slope occasionally
     # degenerates to a sub-speed-of-light reading (two noisy samples
     # subtracting).  The pipeline cannot move its input faster than the
@@ -331,14 +345,22 @@ def main() -> int:
 
         traffic_bytes = 16.5 * B * L
         hbm_util = traffic_bytes / sec_med / device_specs()["hbm_gbps"]
+    # Distinct metric name + null vs_baseline on the CPU-fallback path so a
+    # consumer reading parsed.value can never mistake a CPU liveness number
+    # for a chip throughput (round-3 verdict, Weak #8).
+    on_tpu = tpu_unavailable is None and jax.devices()[0].platform == "tpu"
     result = {
-        "metric": "dfa_scan_bytes_per_sec_chip",
+        "metric": (
+            "dfa_scan_bytes_per_sec_chip"
+            if on_tpu
+            else "dfa_scan_bytes_per_sec_cpu_fallback"
+        ),
         "value": value,
         "unit": "bytes/s",
-        "vs_baseline": value / target,
+        "vs_baseline": (value / target) if on_tpu else None,
         "estimator": "k_slope_materialized_median",
         "value_best": B * L / sec_best,
-        "vs_baseline_best": (B * L / sec_best) / target,
+        "vs_baseline_best": ((B * L / sec_best) / target) if on_tpu else None,
         "n_samples": len(secs),
         "samples_ms": [round(s * 1e3, 3) for s in secs],
         "backend": backend_name,

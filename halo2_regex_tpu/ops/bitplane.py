@@ -262,6 +262,30 @@ def plane_add(a: List[jnp.ndarray], b: List[jnp.ndarray], n_out: int):
     return out
 
 
+def _fori_unrolled(n_steps: int, body, carry0, unroll: int):
+    """fori_loop with MANUAL unroll: this Mosaic's fori lowering supports
+    only ``unroll=1`` or ``unroll=n_steps`` (probe58_quick r4 hardware
+    traceback), so intermediate factors are expressed by running ``unroll``
+    body steps per loop iteration — same schedule exposure, legal lowering.
+    A remainder tail (n_steps % unroll) is peeled statically."""
+    if unroll <= 1:
+        return jax.lax.fori_loop(0, n_steps, body, carry0)
+    if unroll >= n_steps:
+        return jax.lax.fori_loop(0, n_steps, body, carry0, unroll=n_steps)
+    n, rem = divmod(n_steps, unroll)
+
+    def body_u(k, carry):
+        i0 = k * unroll
+        for u in range(unroll):
+            carry = body(i0 + u, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(0, n, body_u, carry0)
+    for i in range(n_steps - rem, n_steps):
+        carry = body(i, carry)
+    return carry
+
+
 def _fsm_log_scan(
     hold: jnp.ndarray, setp: jnp.ndarray, reverse: bool, axis: int = 0
 ):
@@ -600,9 +624,7 @@ class BitplaneMatcher:
                         out_ref[:, j, i] = out[f"log{j}"]
                     return tuple(out[f"nst{s}"] for s in live)
 
-                final = jax.lax.fori_loop(
-                    0, LC, body, carry0, unroll=unroll
-                )
+                final = _fori_unrolled(LC, body, carry0, unroll)
                 for j in range(n_live):
                     st_scr[j] = final[j]
 
@@ -729,9 +751,7 @@ class BitplaneMatcher:
                         nxt.extend(out[f"nst{s}"] for s in c.live_states)
                     return tuple(nxt)
 
-                final = jax.lax.fori_loop(
-                    0, LC, body, carry0, unroll=unroll
-                )
+                final = _fori_unrolled(LC, body, carry0, unroll)
                 for j in range(n_carry):
                     st_scr[j] = final[j]
 
@@ -821,9 +841,14 @@ class BitplaneMatcher:
                     lv = len_ref[...]  # [NT, LANE, 32]
                     acc = None
                     for beta in range(32):
-                        bit = (
-                            pos < lv[:, None, :, beta]
-                        ).astype(jnp.int32) << beta
+                        # static slice + trailing-1 reshape (a no-op
+                        # relayout), NOT integer indexing: int+newaxis
+                        # indexing lowers to a >2D gather, which this
+                        # Mosaic rejects (probe58_quick r4 traceback).
+                        lvb = jax.lax.slice_in_dim(
+                            lv, beta, beta + 1, axis=2
+                        ).reshape(NT, 1, LANE)
+                        bit = (pos < lvb).astype(jnp.int32) << beta
                         acc = bit if acc is None else acc | bit
                     en_ref[...] = acc
 
@@ -937,9 +962,13 @@ class BitplaneMatcher:
                     lv = len_ref[...]
                     acc = None
                     for beta in range(32):
-                        bit = (
-                            pos < lv[:, None, :, beta]
-                        ).astype(jnp.int32) << beta
+                        # slice + no-op reshape, not int indexing (>2D
+                        # gather is rejected by this Mosaic — see
+                        # make_pack above)
+                        lvb = jax.lax.slice_in_dim(
+                            lv, beta, beta + 1, axis=2
+                        ).reshape(NT, 1, LANE)
+                        bit = (pos < lvb).astype(jnp.int32) << beta
                         acc = bit if acc is None else acc | bit
                     en_ref[...] = acc
 

@@ -44,6 +44,7 @@ import numpy as np
 from ..compiler.bitslice import DefCircuits, synthesize_def
 from ..models.compiled import CompiledRegexModel
 from ..witness.result import RegexResult
+from .knobs import BitplaneKnobs
 
 LANE = 128
 
@@ -470,50 +471,16 @@ class BitplaneMatcher:
             )
         self.columns = columns
         n_defs = model.n_defs
-        if unroll is None:
-            unroll = int(os.environ.get("H2R_SCAN_UNROLL", 1))
-        if unroll < 1:
-            raise ValueError(f"unroll={unroll}: must be >= 1")
-        self.unroll = unroll
-        env_fp = os.environ.get("H2R_FUSE_PACK")
-        if env_fp is not None:
-            fuse_pack = env_fp != "0"
-        if fuse_pack is None:
-            fuse_pack = False
-        self.fuse_pack = fuse_pack
-        explicit_cs = class_stage is not None
-        env_cs = os.environ.get("H2R_CLASS_STAGE")
-        if env_cs is not None:
-            try:
-                class_stage = {
-                    "0": False,
-                    "false": False,
-                    "1": "onehot",
-                    "onehot": "onehot",
-                    "binary": "binary",
-                }[env_cs.lower()]
-            except KeyError:
-                raise ValueError(
-                    f"H2R_CLASS_STAGE={env_cs!r}: expected one of "
-                    "0/false/1/onehot/binary"
-                ) from None
-            explicit_cs = True
-        if class_stage is None:
-            class_stage = "binary"
-        if class_stage is True:
-            class_stage = "onehot"
-        if fuse_pack and class_stage:
-            # mutually exclusive pack strategies: fuse_pack extracts byte
-            # planes in the scan prologue, so there is no pack kernel to
-            # host the class circuit
-            if explicit_cs:
-                raise ValueError(
-                    "class_stage and fuse_pack are mutually exclusive "
-                    "(in-scan plane extraction has no pack kernel for "
-                    "the class circuit)"
-                )
-            class_stage = False
-        self.class_stage = class_stage
+        # All H2R_* knobs resolved + validated in one place (ops/knobs.py);
+        # constructor args override env, env overrides defaults.
+        knobs = BitplaneKnobs.from_env(
+            unroll=unroll, fuse_pack=fuse_pack, class_stage=class_stage
+        )
+        self.knobs = knobs
+        unroll = self.unroll = knobs.unroll
+        fuse_pack = self.fuse_pack = knobs.fuse_pack
+        class_stage = self.class_stage = knobs.class_stage
+        vmem_limit = knobs.vmem_limit
         L = model.max_chars_size
         total = model.total_substrs
         idb = max(1, int(total).bit_length())
@@ -657,9 +624,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -782,9 +747,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -800,7 +763,7 @@ class BitplaneMatcher:
         # Opt-in (H2R_EN_PACK=1): the pack kernel also computes the enable
         # plane from a per-word length table, replacing the XLA broadcast-
         # compare-reduce pass of the run path (pending the hardware A/B).
-        en_in_pack = os.environ.get("H2R_EN_PACK") == "1"
+        en_in_pack = knobs.en_pack
         self._en_in_pack = en_in_pack
 
         def make_pack(NWS: int):
@@ -897,9 +860,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -913,7 +874,7 @@ class BitplaneMatcher:
         # kernel, so the transposes run at memcpy speed (probe_tpu47/48)
         # instead of serializing compute.  Requires L == L_pad.
         self._qpack = (
-            os.environ.get("H2R_QPACK") == "1" and L_pad == L and not fuse_pack
+            knobs.qpack and L_pad == L
         )
 
         def make_qpack(NWS: int):
@@ -1017,9 +978,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -1087,17 +1046,7 @@ class BitplaneMatcher:
         self._wgroups: List[List[Tuple[str, int, int]]] = []
         self._dfields: List[Tuple[str, int]] = []
         if columns == "witness" and post == "pallas":
-            emit = os.environ.get("H2R_EMIT")
-            if emit is None:
-                wb = os.environ.get("H2R_WITNESS_BYTES")
-                emit = {"0": "planes", "1": "bytes"}.get(wb, "bytes")
-            else:
-                emit = emit.lower()
-                if emit not in ("planes", "bytes", "direct", "kdecode"):
-                    raise ValueError(
-                        f"H2R_EMIT={emit!r}: expected "
-                        "planes/bytes/direct/kdecode"
-                    )
+            emit = knobs.emit if knobs.emit is not None else "bytes"
             fields: List[Tuple[str, int]] = [
                 ("flags", 6),
                 ("masked_idsum", nsum),
@@ -1365,9 +1314,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -1436,9 +1383,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 
@@ -1526,9 +1471,7 @@ class BitplaneMatcher:
                 compiler_params=None
                 if interpret
                 else pltpu.CompilerParams(
-                    vmem_limit_bytes=int(
-                        os.environ.get("H2R_VMEM_LIMIT", 100 * 1024 * 1024)
-                    )
+                    vmem_limit_bytes=vmem_limit
                 ),
             )
 

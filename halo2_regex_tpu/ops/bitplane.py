@@ -458,6 +458,13 @@ class BitplaneMatcher:
         #   in-scan extraction serializes ~24k vops/chunk ahead of the
         #   recurrence, costing more than the pack round trip saves.
         #   Kept as an option (H2R_FUSE_PACK=1) for future toolchains.
+        en_pack: Optional[bool] = None,  # None = env H2R_EN_PACK; compute
+        #   the enable plane inside the pack/qpack kernel.
+        qpack: Optional[bool] = None,  # None = env H2R_QPACK; fold the
+        #   raw_quads transpose into the pack kernel (kills the 67 MB
+        #   XLA transpose round trip; requires L == L_pad).
+        emit: Optional[str] = None,  # None = env H2R_EMIT (default
+        #   "bytes"): planes/bytes/direct/kdecode field emission mode.
     ):
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
@@ -474,7 +481,8 @@ class BitplaneMatcher:
         # All H2R_* knobs resolved + validated in one place (ops/knobs.py);
         # constructor args override env, env overrides defaults.
         knobs = BitplaneKnobs.from_env(
-            unroll=unroll, fuse_pack=fuse_pack, class_stage=class_stage
+            unroll=unroll, fuse_pack=fuse_pack, class_stage=class_stage,
+            en_pack=en_pack, qpack=qpack, emit=emit,
         )
         self.knobs = knobs
         unroll = self.unroll = knobs.unroll

@@ -49,7 +49,12 @@ def main(argv=None) -> int:
 
     B, L = args.batch, args.length
     model = zoo.email_headers_model(max_chars_size=L, headers=("from",))
-    m = BitplaneMatcher(model, columns="witness")
+    # stage isolation drives the plain single-input pack signature —
+    # en_pack/qpack (default ON since round 4) change the kernel
+    # signatures, so they are disabled HERE ONLY; the `full` row below
+    # uses a default-constructed matcher (the shipped configuration).
+    m = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
+    m_full = BitplaneMatcher(model, columns="witness")
     NWS = B // 32 // 128
     if NWS < 1:
         raise SystemExit("--batch must be >= 4096 (one packed word group)")
@@ -90,7 +95,7 @@ def main(argv=None) -> int:
         def f(c):
             outs = []
             for i in range(K):
-                out = m.core(c ^ np.uint8(i), lengths_j ^ i)
+                out = m_full.core(c ^ np.uint8(i), lengths_j ^ i)
                 outs.append(tuple(out[k] for k in keys))
             return outs
 

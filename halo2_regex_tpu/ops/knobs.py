@@ -14,8 +14,13 @@ Knobs and their hardware provenance (docs/PERF.md):
                                 (probe43: slower; kept for future parts)
   H2R_CLASS_STAGE   0/1/onehot/binary  byte->class stage placement
   H2R_EN_PACK       0/1         enable plane computed in the pack kernel
-  H2R_QPACK         0/1         pack reads raw quads directly (skips the
-                                raw_quads round trip)
+                                (default ON — probe63: part of the 30%
+                                pipeline win; auto-off under fuse_pack)
+  H2R_QPACK         0/1         pack reads raw quads directly, skipping
+                                the XLA raw_quads transpose (default ON —
+                                probe63: -0.6 ms, the largest measured
+                                stage at 10% HBM util; auto-off under
+                                fuse_pack, and per-matcher when L != L_pad)
   H2R_EMIT          planes/bytes/direct/kdecode  witness emission tail
   H2R_WITNESS_BYTES legacy 0/1 alias for planes/bytes
   H2R_VMEM_LIMIT    bytes       Mosaic scoped-VMEM ceiling per kernel
@@ -38,8 +43,8 @@ class BitplaneKnobs:
     unroll: int = 1
     fuse_pack: bool = False
     class_stage: Union[bool, str] = "binary"  # False | "binary" | "onehot"
-    en_pack: bool = False
-    qpack: bool = False
+    en_pack: bool = True
+    qpack: bool = True
     emit: Optional[str] = None  # None = mode-dependent default ("bytes")
     vmem_limit: int = 100 * 1024 * 1024
 
@@ -90,10 +95,19 @@ class BitplaneKnobs:
             class_stage = "binary"
         if class_stage is True:
             class_stage = "onehot"
+        # en_pack/qpack default ON (round-4 hardware A/B, probe_tpu63:
+        # qpack+en_pack 2.21 ms vs 3.16 ms median for the witness
+        # pipeline at B=32k x 1KB, bit-exact; match-only 1.22 vs 1.56).
+        # Soft defaults: auto-disabled under fuse_pack unless explicitly
+        # requested (then the conflict is an error, below).
+        explicit_en = en_pack is not None or "H2R_EN_PACK" in os.environ
+        explicit_qp = qpack is not None or "H2R_QPACK" in os.environ
         if en_pack is None:
-            en_pack = os.environ.get("H2R_EN_PACK") == "1"
+            env_en = os.environ.get("H2R_EN_PACK")
+            en_pack = env_en == "1" if env_en is not None else True
         if qpack is None:
-            qpack = os.environ.get("H2R_QPACK") == "1"
+            env_qp = os.environ.get("H2R_QPACK")
+            qpack = env_qp == "1" if env_qp is not None else True
         if emit is None:
             emit = os.environ.get("H2R_EMIT")
             if emit is None:
@@ -117,10 +131,19 @@ class BitplaneKnobs:
             emit=emit,
             vmem_limit=vmem_limit,
         )
-        return knobs._validate(explicit_cs=explicit_cs)
+        return knobs._validate(
+            explicit_cs=explicit_cs,
+            explicit_en=explicit_en,
+            explicit_qp=explicit_qp,
+        )
 
     # ------------------------------------------------------------------
-    def _validate(self, explicit_cs: bool) -> "BitplaneKnobs":
+    def _validate(
+        self,
+        explicit_cs: bool,
+        explicit_en: bool = True,
+        explicit_qp: bool = True,
+    ) -> "BitplaneKnobs":
         k = self
         if k.unroll < 1:
             raise ValueError(f"unroll={k.unroll}: must be >= 1")
@@ -142,15 +165,19 @@ class BitplaneKnobs:
                 )
             k = replace(k, class_stage=False)
         if k.fuse_pack and k.en_pack:
-            raise ValueError(
-                "H2R_EN_PACK=1 and H2R_FUSE_PACK=1 conflict: fuse_pack "
-                "removes the pack kernel that would compute the enable "
-                "plane"
-            )
+            if explicit_en:
+                raise ValueError(
+                    "H2R_EN_PACK=1 and H2R_FUSE_PACK=1 conflict: fuse_pack "
+                    "removes the pack kernel that would compute the enable "
+                    "plane"
+                )
+            k = replace(k, en_pack=False)
         if k.fuse_pack and k.qpack:
-            raise ValueError(
-                "H2R_QPACK=1 and H2R_FUSE_PACK=1 conflict: qpack is a "
-                "pack-kernel input layout and fuse_pack removes the pack "
-                "kernel"
-            )
+            if explicit_qp:
+                raise ValueError(
+                    "H2R_QPACK=1 and H2R_FUSE_PACK=1 conflict: qpack is a "
+                    "pack-kernel input layout and fuse_pack removes the "
+                    "pack kernel"
+                )
+            k = replace(k, qpack=False)
         return k

@@ -326,7 +326,9 @@ def test_fused_scan_matches_per_def_kernels(model12):
 
     from halo2_regex_tpu.ops.bitplane import raw_quads
 
-    m = BitplaneMatcher(model12, interpret=True)
+    # en_pack/qpack off: this test drives the internal pack/scan helpers
+    # directly with the plain single-input pack signature
+    m = BitplaneMatcher(model12, interpret=True, en_pack=False, qpack=False)
     B = 128
     rng = np.random.default_rng(7)
     chars = rng.integers(0, 256, size=(B, MAX_LEN)).astype(np.uint8)

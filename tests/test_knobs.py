@@ -34,8 +34,10 @@ def test_defaults(monkeypatch):
     assert k.unroll == 1
     assert k.fuse_pack is False
     assert k.class_stage == "binary"
-    assert k.en_pack is False
-    assert k.qpack is False
+    # round-4 measured defaults (probe_tpu63: qpack+en_pack is the
+    # fastest bit-exact witness configuration on hardware)
+    assert k.en_pack is True
+    assert k.qpack is True
     assert k.emit is None
     assert k.vmem_limit == 100 * 1024 * 1024
 

@@ -40,6 +40,8 @@ from typing import Dict, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..compiler.bitslice import DefCircuits, synthesize_def
 from ..models.compiled import CompiledRegexModel
@@ -466,9 +468,6 @@ class BitplaneMatcher:
         emit: Optional[str] = None,  # None = env H2R_EMIT (default
         #   "bytes"): planes/bytes/direct/kdecode field emission mode.
     ):
-        from jax.experimental import pallas as pl
-        from jax.experimental.pallas import tpu as pltpu
-
         self.model = model
         self.interpret = interpret
         self.compact = compact
@@ -477,7 +476,7 @@ class BitplaneMatcher:
                 f"columns={columns!r}: expected full/witness/match"
             )
         self.columns = columns
-        n_defs = model.n_defs
+        n_defs = self.n_defs = model.n_defs
         # All H2R_* knobs resolved + validated in one place (ops/knobs.py);
         # constructor args override env, env overrides defaults.
         knobs = BitplaneKnobs.from_env(
@@ -488,8 +487,9 @@ class BitplaneMatcher:
         unroll = self.unroll = knobs.unroll
         fuse_pack = self.fuse_pack = knobs.fuse_pack
         class_stage = self.class_stage = knobs.class_stage
-        vmem_limit = knobs.vmem_limit
-        L = model.max_chars_size
+        self._vmem_limit = knobs.vmem_limit
+        self._post_mode = post
+        L = self.L = model.max_chars_size
         total = model.total_substrs
         idb = max(1, int(total).bit_length())
         self.idb = idb
@@ -529,7 +529,7 @@ class BitplaneMatcher:
         self.L_pad = L_pad
         self.lc = LC
         self.nws_tile = nws_tile
-        n_l = L_pad // LC
+        self._n_l = L_pad // LC
 
         # ----- per-def Pallas scan kernel -----
         # ``fused_pack``: the kernel takes RAW QUAD ROWS (the bitcast view
@@ -539,104 +539,6 @@ class BitplaneMatcher:
         # but without its 2x32 MB HBM round trip between kernels.  The
         # fori_loop reads planes from scratch (dynamic indexing is only
         # legal on refs, not values, on this Mosaic).
-        def make_scan(
-            circ: DefCircuits,
-            NWS: int,
-            fused_pack: bool = False,
-            cls_off: int = 0,
-        ):
-            sb = circ.sb
-            live = circ.live_states
-            n_live = len(live)
-            NT = min(nws_tile, NWS)
-            while NWS % NT != 0:
-                NT -= 1
-            n_b = NWS // NT
-            KIN = self._kp if (class_stage and not circ.fold_class) else 8
-
-            def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
-                l = pl.program_id(1)
-
-                if fused_pack:
-                    bits_scr = maybe_bits_scr[0]
-                    qmask = jnp.int32(_QUAD_MASK)
-                    for j in range(8):
-                        acc = None
-                        for m in range(8):
-                            v = ((bits_ref[:, m] >> j) & qmask) << m
-                            acc = v if acc is None else acc | v
-                        bits_scr[:, j] = acc
-                    plane_ref = bits_scr
-                else:
-                    plane_ref = bits_ref
-
-                @pl.when(l == 0)
-                def _():
-                    for j, s in enumerate(live):
-                        st_scr[j] = jnp.full(
-                            (NT, LANE),
-                            -1 if s == circ.first_state else 0,
-                            jnp.int32,
-                        )
-
-                carry0 = tuple(st_scr[j] for j in range(n_live))
-
-                def body(i, carry):
-                    if circ.fold_class:
-                        env = {
-                            f"byte_bit{j}": plane_ref[i, j] for j in range(8)
-                        }
-                    else:
-                        env = {
-                            name: plane_ref[i, cls_off + c]
-                            for c, name in enumerate(circ.class_plane_names)
-                        }
-                    env.update(
-                        {f"st{s}": carry[j] for j, s in enumerate(live)}
-                    )
-                    out = circ.step_prog.run(env)
-                    for j in range(sb):
-                        out_ref[:, j, i] = out[f"log{j}"]
-                    return tuple(out[f"nst{s}"] for s in live)
-
-                final = _fori_unrolled(LC, body, carry0, unroll)
-                for j in range(n_live):
-                    st_scr[j] = final[j]
-
-            scratch = [pltpu.VMEM((n_live, NT, LANE), jnp.int32)]
-            if fused_pack:
-                scratch.append(pltpu.VMEM((LC, 8, NT, LANE), jnp.int32))
-            return pl.pallas_call(
-                kern,
-                grid=(n_b, n_l),
-                in_specs=[
-                    pl.BlockSpec(
-                        (LC, KIN, NT, LANE),
-                        lambda b, l: (l, 0, b, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                # NWS-major output: downstream packed-domain stages tile the
-                # word-group axis, and (L, LANE) minor dims satisfy Mosaic's
-                # (8, 128) block-divisibility rule at any NWS.
-                out_specs=pl.BlockSpec(
-                    (NT, sb, LC, LANE),
-                    lambda b, l: (b, 0, l, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (NWS, sb, L_pad, LANE), jnp.int32
-                ),
-                scratch_shapes=scratch,
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_scan = make_scan
 
         # ----- fused multi-def scan kernel -----
         # All defs' step circuits run in ONE kernel: the plane stack is
@@ -653,113 +555,6 @@ class BitplaneMatcher:
         SB_sum = off_sb
         self._sb_sum = SB_sum
 
-        def make_scan_fused(NWS: int, fused_pack: bool = False):
-            NT = min(nws_tile, NWS)
-            while NWS % NT != 0:
-                NT -= 1
-            n_b = NWS // NT
-            # _kp is 8 (byte planes) when class_stage is off — which
-            # fused_pack forces — and the concatenated class-plane count
-            # otherwise, so it is the input plane count in every mode.
-            KIN = self._kp
-
-            def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
-                l = pl.program_id(1)
-
-                if fused_pack:
-                    bits_scr = maybe_bits_scr[0]
-                    qmask = jnp.int32(_QUAD_MASK)
-                    for j in range(8):
-                        acc = None
-                        for mm in range(8):
-                            v = ((bits_ref[:, mm] >> j) & qmask) << mm
-                            acc = v if acc is None else acc | v
-                        bits_scr[:, j] = acc
-                    plane_ref = bits_scr
-                else:
-                    plane_ref = bits_ref
-
-                # carry layout: def-major one-hot planes
-                live_off = []
-                off_c = 0
-                for c in self.circuits:
-                    live_off.append(off_c)
-                    off_c += len(c.live_states)
-                n_carry = off_c
-
-                @pl.when(l == 0)
-                def _():
-                    for d, c in enumerate(self.circuits):
-                        for j, s in enumerate(c.live_states):
-                            st_scr[live_off[d] + j] = jnp.full(
-                                (NT, LANE),
-                                -1 if s == c.first_state else 0,
-                                jnp.int32,
-                            )
-
-                carry0 = tuple(st_scr[j] for j in range(n_carry))
-
-                def body(i, carry):
-                    nxt: List = []
-                    for d, c in enumerate(self.circuits):
-                        if c.fold_class:
-                            env = {
-                                f"byte_bit{j}": plane_ref[i, j]
-                                for j in range(8)
-                            }
-                        else:
-                            env = {
-                                name: plane_ref[i, self._cls_off[d] + j]
-                                for j, name in enumerate(c.class_plane_names)
-                            }
-                        env.update(
-                            {
-                                f"st{s}": carry[live_off[d] + j]
-                                for j, s in enumerate(c.live_states)
-                            }
-                        )
-                        out = c.step_prog.run(env)
-                        for j in range(c.sb):
-                            out_ref[:, self._sb_off[d] + j, i] = out[f"log{j}"]
-                        nxt.extend(out[f"nst{s}"] for s in c.live_states)
-                    return tuple(nxt)
-
-                final = _fori_unrolled(LC, body, carry0, unroll)
-                for j in range(n_carry):
-                    st_scr[j] = final[j]
-
-            n_carry_total = sum(len(c.live_states) for c in self.circuits)
-            scratch = [pltpu.VMEM((n_carry_total, NT, LANE), jnp.int32)]
-            if fused_pack:
-                scratch.append(pltpu.VMEM((LC, 8, NT, LANE), jnp.int32))
-            return pl.pallas_call(
-                kern,
-                grid=(n_b, n_l),
-                in_specs=[
-                    pl.BlockSpec(
-                        (LC, KIN, NT, LANE),
-                        lambda b, l: (l, 0, b, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (NT, SB_sum, LC, LANE),
-                    lambda b, l: (b, 0, l, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (NWS, SB_sum, L_pad, LANE), jnp.int32
-                ),
-                scratch_shapes=scratch,
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_scan_fused = make_scan_fused
 
         # ----- pack kernel -----
         # Byte-bit plane extraction from the raw quad rows as a
@@ -768,111 +563,13 @@ class BitplaneMatcher:
         PLC = min(128, L_pad)
         while L_pad % PLC != 0:
             PLC //= 2
+        self._plc = PLC
         # Opt-in (H2R_EN_PACK=1): the pack kernel also computes the enable
         # plane from a per-word length table, replacing the XLA broadcast-
         # compare-reduce pass of the run path (pending the hardware A/B).
         en_in_pack = knobs.en_pack
         self._en_in_pack = en_in_pack
 
-        def make_pack(NWS: int):
-            NT = min(nws_tile, NWS)
-            while NWS % NT != 0:
-                NT -= 1
-            KOUT = self._kp if class_stage else 8
-
-            def kern(*refs):
-                if en_in_pack:
-                    r_ref, len_ref, out_ref, en_ref = refs
-                else:
-                    r_ref, out_ref = refs
-                mask = jnp.int32(_QUAD_MASK)
-                planes = []
-                for j in range(8):
-                    acc = None
-                    for m in range(8):
-                        v = ((r_ref[:, m] >> j) & mask) << m
-                        acc = v if acc is None else acc | v
-                    planes.append(acc)
-                if class_stage:
-                    # run each def's byte->class circuit position-parallel
-                    # (moves the class BDD off the scan's serial chain)
-                    env = {f"byte_bit{j}": planes[j] for j in range(8)}
-                    for d, circ in enumerate(self.circuits):
-                        out = circ.class_prog.run(env)
-                        for c, name in enumerate(circ.class_plane_names):
-                            out_ref[:, self._cls_off[d] + c] = out[name]
-                else:
-                    for j in range(8):
-                        out_ref[:, j] = planes[j]
-                if en_in_pack:
-                    l = pl.program_id(1)
-                    pos = l * PLC + jax.lax.broadcasted_iota(
-                        jnp.int32, (NT, PLC, LANE), 1
-                    )
-                    lv = len_ref[...]  # [NT, LANE, 32]
-                    acc = None
-                    for beta in range(32):
-                        # static slice + trailing-1 reshape (a no-op
-                        # relayout), NOT integer indexing: int+newaxis
-                        # indexing lowers to a >2D gather, which this
-                        # Mosaic rejects (probe58_quick r4 traceback).
-                        lvb = jax.lax.slice_in_dim(
-                            lv, beta, beta + 1, axis=2
-                        ).reshape(NT, 1, LANE)
-                        bit = (pos < lvb).astype(jnp.int32) << beta
-                        acc = bit if acc is None else acc | bit
-                    en_ref[...] = acc
-
-            in_specs = [
-                pl.BlockSpec(
-                    (PLC, 8, NT, LANE),
-                    lambda b, l: (l, 0, b, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            out_specs = pl.BlockSpec(
-                (PLC, KOUT, NT, LANE),
-                lambda b, l: (l, 0, b, 0),
-                memory_space=pltpu.VMEM,
-            )
-            out_shape = jax.ShapeDtypeStruct(
-                (L_pad, KOUT, NWS, LANE), jnp.int32
-            )
-            if en_in_pack:
-                in_specs.append(
-                    pl.BlockSpec(
-                        (NT, LANE, 32),
-                        lambda b, l: (b, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    )
-                )
-                out_specs = [
-                    out_specs,
-                    pl.BlockSpec(
-                        (NT, PLC, LANE),
-                        lambda b, l: (b, l, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ]
-                out_shape = [
-                    out_shape,
-                    jax.ShapeDtypeStruct((NWS, L_pad, LANE), jnp.int32),
-                ]
-            return pl.pallas_call(
-                kern,
-                grid=(NWS // NT, L_pad // PLC),
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shape,
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_pack = make_pack
 
         # ----- qpack: raw_quads fused into the pack kernel (H2R_QPACK=1) -----
         # The XLA raw_quads pass materializes the [L, B] transpose (67 MB
@@ -885,112 +582,6 @@ class BitplaneMatcher:
             knobs.qpack and L_pad == L
         )
 
-        def make_qpack(NWS: int):
-            NT = min(nws_tile, NWS)
-            while NWS % NT != 0:
-                NT -= 1
-            W = NT * LANE
-            KOUT = self._kp if class_stage else 8
-
-            def kern(*refs):
-                if en_in_pack:
-                    ch_ref, len_ref, out_ref, en_ref = refs
-                else:
-                    ch_ref, out_ref = refs
-                ch = ch_ref[...].astype(jnp.int32)  # [8, W, 4, PLC]
-                mask = jnp.int32(_QUAD_MASK)
-                planes = [None] * 8
-                for m in range(8):
-                    word = None
-                    for s2 in range(4):
-                        v = ch[m, :, s2, :] << (8 * s2)
-                        word = v if word is None else word | v
-                    Rm = jnp.swapaxes(word, 0, 1)  # [PLC, W]
-                    for j in range(8):
-                        v = ((Rm >> j) & mask) << m
-                        planes[j] = v if planes[j] is None else planes[j] | v
-                # planes[j]: [PLC, W] == [PLC, NT*LANE]; out block wants
-                # (PLC, KOUT, NT, LANE)
-                def shaped(p):
-                    return p.reshape(PLC, NT, LANE)
-
-                if class_stage:
-                    env = {f"byte_bit{j}": planes[j] for j in range(8)}
-                    for d, circ in enumerate(self.circuits):
-                        out = circ.class_prog.run(env)
-                        for c, name in enumerate(circ.class_plane_names):
-                            out_ref[:, self._cls_off[d] + c] = shaped(out[name])
-                else:
-                    for j in range(8):
-                        out_ref[:, j] = shaped(planes[j])
-                if en_in_pack:
-                    l = pl.program_id(1)
-                    pos = l * PLC + jax.lax.broadcasted_iota(
-                        jnp.int32, (NT, PLC, LANE), 1
-                    )
-                    lv = len_ref[...]
-                    acc = None
-                    for beta in range(32):
-                        # slice + no-op reshape, not int indexing (>2D
-                        # gather is rejected by this Mosaic — see
-                        # make_pack above)
-                        lvb = jax.lax.slice_in_dim(
-                            lv, beta, beta + 1, axis=2
-                        ).reshape(NT, 1, LANE)
-                        bit = (pos < lvb).astype(jnp.int32) << beta
-                        acc = bit if acc is None else acc | bit
-                    en_ref[...] = acc
-
-            in_specs = [
-                pl.BlockSpec(
-                    (8, W, 4, PLC),
-                    lambda b, l: (0, b, 0, l),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            out_specs = pl.BlockSpec(
-                (PLC, KOUT, NT, LANE),
-                lambda b, l: (l, 0, b, 0),
-                memory_space=pltpu.VMEM,
-            )
-            out_shape = jax.ShapeDtypeStruct(
-                (L_pad, KOUT, NWS, LANE), jnp.int32
-            )
-            if en_in_pack:
-                in_specs.append(
-                    pl.BlockSpec(
-                        (NT, LANE, 32),
-                        lambda b, l: (b, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    )
-                )
-                out_specs = [
-                    out_specs,
-                    pl.BlockSpec(
-                        (NT, PLC, LANE),
-                        lambda b, l: (b, l, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ]
-                out_shape = [
-                    out_shape,
-                    jax.ShapeDtypeStruct((NWS, L_pad, LANE), jnp.int32),
-                ]
-            return pl.pallas_call(
-                kern,
-                grid=(NWS // NT, L_pad // PLC),
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shape,
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_qpack = make_qpack
 
         # ----- fused tag + FSM "post" kernel -----
         # Position-parallel packed-domain work (pair circuit, id-sum adder,
@@ -1033,6 +624,7 @@ class BitplaneMatcher:
             off += nb
         P_total = off
         self._post_off = post_off
+        self._p_total = P_total
 
         # Byte-packed witness emission.  Three modes (H2R_EMIT):
         #   "planes": post writes bit planes; XLA does a 32-way unpack
@@ -1086,247 +678,15 @@ class BitplaneMatcher:
                     if cur:
                         groups.append(cur)
                     self._wgroups = groups
-                    P_total = len(groups) * 8
+                    self._p_total = P_total = len(groups) * 8
         # bytes_mode gates the byte-group post emission, shared by "bytes"
         # (XLA decode) and "kdecode" (Pallas decode kernel).
         self._bytes_mode = self._emit in ("bytes", "kdecode")
-        bytes_mode = self._bytes_mode
-        kdecode_mode = self._emit == "kdecode"
-        direct_mode = self._emit == "direct"
-        wgroups = self._wgroups
-        dfields = self._dfields
+        self._kdecode_mode = self._emit == "kdecode"
+        self._direct_mode = self._emit == "direct"
 
-        L4 = L_pad // 4 if L_pad % 4 == 0 else 0
+        self._l4 = L_pad // 4 if L_pad % 4 == 0 else 0
 
-        def make_post(NWS: int):
-            # All arrays lead with the word-group (NWS) axis so blocks end
-            # in (L_pad, LANE) — Mosaic requires the last two block dims be
-            # (multiple of 8, multiple of 128) or the full array dims.
-            sbs = [c.sb for c in self.circuits]
-
-            soff = self._sb_off
-
-            def kern(*refs):
-                log_ref = refs[0]  # fused [*, SB_sum, L_pad, LANE] stack
-                en_ref = refs[1]
-                out_ref = refs[2] if not direct_mode else None
-                fb_ref = refs[3] if bytes_mode else None
-                out_refs = refs[2:]
-                en = en_ref[0, 0]  # [L_pad, LANE]
-                zrow = jnp.zeros((1, LANE), jnp.int32)
-
-                def put(name, planes):
-                    if direct_mode or name not in post_off:
-                        return
-                    o, nb = post_off[name]
-                    for j in range(nb):
-                        out_ref[0, o + j] = (
-                            planes[j] if j < len(planes) else jnp.zeros_like(en)
-                        )
-
-                ids_sum = None
-                start_any = None
-                endf_any = None
-                for d, circ in enumerate(self.circuits):
-                    nxt = [log_ref[0, soff[d] + j] for j in range(sbs[d])]
-                    first_bits = [
-                        jnp.full(
-                            (1, LANE),
-                            -1 if (circ.first_state >> j) & 1 else 0,
-                            jnp.int32,
-                        )
-                        for j in range(sbs[d])
-                    ]
-                    prv = [
-                        jnp.concatenate(
-                            [first_bits[j], nxt[j][: L_pad - 1]], 0
-                        )
-                        for j in range(sbs[d])
-                    ]
-                    env = {f"prev{j}": prv[j] for j in range(sbs[d])}
-                    env.update({f"next{j}": nxt[j] for j in range(sbs[d])})
-                    tag = circ.tag_prog.run(env)
-                    idp = [tag[f"id{j}"] & en for j in range(idb)]
-                    stp = tag["is_start"] & en
-                    efp = tag["is_end"] & en
-                    put(f"ids{d}", idp)
-                    put(f"start{d}", [stp])
-                    put(f"endf{d}", [efp])
-                    if ids_sum is None:
-                        ids_sum, start_any, endf_any = list(idp), stp, efp
-                    else:
-                        ids_sum = plane_add(
-                            ids_sum, idp, idb + d.bit_length() + 1
-                        )
-                        start_any = start_any | stp
-                        endf_any = endf_any | efp
-                put("idsum", ids_sum)
-                put("start_any", [start_any])
-                put("endf_any", [endf_any])
-
-                # forward FSM (src/lib.rs:598-645)
-                prev_sum = [
-                    jnp.concatenate([zrow, p[: L_pad - 1]], 0) for p in ids_sum
-                ]
-                changed = None
-                for a, b in zip(ids_sum, prev_sum):
-                    x = a ^ b
-                    changed = x if changed is None else (changed | x)
-                prev_endf = jnp.concatenate([zrow, endf_any[: L_pad - 1]], 0)
-                is_set = start_any & changed
-                is_reset = ~start_any & prev_endf & changed
-                fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False)
-
-                # backward FSM (src/lib.rs:663-714)
-                next_sum = [
-                    jnp.concatenate([p[1:], zrow], 0) for p in ids_sum
-                ]
-                changed_b = None
-                for a, b in zip(ids_sum, next_sum):
-                    x = a ^ b
-                    changed_b = x if changed_b is None else (changed_b | x)
-                next_start = jnp.concatenate([start_any[1:], zrow], 0)
-                set_b = endf_any & changed_b
-                reset_b = ~endf_any & next_start & changed_b
-                bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
-                mask = fwd & bwd
-                if bytes_mode or direct_mode:
-                    avail: Dict[str, List[jnp.ndarray]] = {
-                        "flags": [mask, fwd, bwd, en, start_any, endf_any],
-                        "masked_idsum": [p & mask for p in ids_sum],
-                    }
-                    for d in range(n_defs):
-                        avail[f"states{d}"] = [
-                            log_ref[0, soff[d] + j] for j in range(sbs[d])
-                        ]
-                if direct_mode:
-                    # one l4-packed [B, L]-major int32 array per field:
-                    # byte-lane words -> per-m (LANE*4, L4) blocks whose
-                    # flat order is the final string order (m, nws, lane,
-                    # s) with positions packed 4-per-int32 (probe_tpu48)
-                    for fi, (name, _nb) in enumerate(dfields):
-                        planes = list(avail[name])
-                        planes += [jnp.zeros_like(en)] * (8 - len(planes))
-                        words = transpose8_planes(planes)
-                        for m in range(8):
-                            rows = words[m].reshape(L4, 4, LANE)
-                            qs_t = []
-                            for s in range(4):
-                                acc = None
-                                for j in range(4):
-                                    v = (rows[:, j] >> (8 * s)) & 0xFF
-                                    v = v << (8 * j)
-                                    acc = v if acc is None else acc | v
-                                qs_t.append(jnp.swapaxes(acc, 0, 1))
-                            out_refs[fi][m, 0] = jnp.stack(
-                                qs_t, axis=1
-                            ).reshape(LANE * 4, L4)
-                elif bytes_mode:
-                    for gi, grp in enumerate(wgroups):
-                        planes: List[jnp.ndarray] = []
-                        for name, _off_b, _nb in grp:
-                            planes += avail[name]
-                        planes += [jnp.zeros_like(en)] * (8 - len(planes))
-                        words = transpose8_planes(planes)
-                        for b in range(8):
-                            out_ref[0, gi * 8 + b] = words[b]
-                    # Final-state boundary planes: per def the log bits of
-                    # the state AFTER the last enabled byte (first state
-                    # for empty strings) — replaces the XLA take_along
-                    # gather and lets match_ok skip the states decode.
-                    en_next = jnp.concatenate([en[1:], zrow], 0)
-                    bnd = en & ~en_next  # last enabled position per string
-                    empty = ~en[0]  # [LANE]
-                    for d, circ in enumerate(self.circuits):
-                        for j in range(8):
-                            if j < sbs[d]:
-                                x = bnd & log_ref[0, soff[d] + j]
-                                while x.shape[0] > 1:
-                                    half = x.shape[0] // 2
-                                    y = x[:half] | x[half : 2 * half]
-                                    if x.shape[0] % 2:
-                                        y = jnp.concatenate(
-                                            [y[:1] | x[-1:], y[1:]], 0
-                                        )
-                                    x = y
-                                first_j = jnp.int32(
-                                    -1 if (circ.first_state >> j) & 1 else 0
-                                )
-                                fb_ref[0, d, j] = x[0] | (empty & first_j)
-                            else:
-                                fb_ref[0, d, j] = jnp.zeros(
-                                    (LANE,), jnp.int32
-                                )
-                else:
-                    put("fwd", [fwd])
-                    put("bwd", [bwd])
-                    put("mask", [mask])
-                    put("masked_idsum", [p & mask for p in ids_sum])
-
-            in_specs = [
-                pl.BlockSpec(
-                    (1, SB_sum, L_pad, LANE),
-                    lambda b: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, L_pad, LANE),
-                    lambda b: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ]
-            if direct_mode:
-                out_specs = [
-                    pl.BlockSpec(
-                        (8, 1, LANE * 4, L4),
-                        lambda b: (0, b, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    )
-                    for _ in dfields
-                ]
-                out_shape = [
-                    jax.ShapeDtypeStruct((8, NWS, LANE * 4, L4), jnp.int32)
-                    for _ in dfields
-                ]
-            else:
-                out_specs = pl.BlockSpec(
-                    (1, P_total, L_pad, LANE),
-                    lambda b: (b, 0, 0, 0),
-                    memory_space=pltpu.VMEM,
-                )
-                out_shape = jax.ShapeDtypeStruct(
-                    (NWS, P_total, L_pad, LANE), jnp.int32
-                )
-                if bytes_mode:
-                    out_specs = [
-                        out_specs,
-                        pl.BlockSpec(
-                            (1, n_defs, 8, LANE),
-                            lambda b: (b, 0, 0, 0),
-                            memory_space=pltpu.VMEM,
-                        ),
-                    ]
-                    out_shape = [
-                        out_shape,
-                        jax.ShapeDtypeStruct(
-                            (NWS, n_defs, 8, LANE), jnp.int32
-                        ),
-                    ]
-            return pl.pallas_call(
-                kern,
-                grid=(NWS,),
-                in_specs=in_specs,
-                out_specs=out_specs,
-                out_shape=out_shape,
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_post = make_post
 
         # ----- fb-only kernel (columns="match") -----
         # Match-only serving (corpus filtering / counting) needs none of
@@ -1335,16 +695,587 @@ class BitplaneMatcher:
         # "post + decode + assembly" tail collapses to a [B]-sized
         # verdict.  Pipeline traffic drops to ~2.8 B/input byte and the
         # serial scan becomes the only meaningful cost.
-        def make_fb_only(NWS: int):
-            sbs = [c.sb for c in self.circuits]
-            soff = self._sb_off
 
-            def kern(log_ref, en_ref, fb_ref):
-                en = en_ref[0, 0]
-                zrow = jnp.zeros((1, LANE), jnp.int32)
+        # ----- standalone decode kernel (H2R_EMIT=kdecode) -----
+        # Replaces the XLA tail's per-field transpose passes AND the masked-
+        # chars pass with ONE light kernel: read the byte-group words once,
+        # emit every field column (and mask*chars) as l4-packed int32 arrays
+        # whose [B, L] uint8 views are zero-copy bitcast+reshape.  Unlike
+        # the rejected "direct" mode (probe_tpu49), the tile transposes live
+        # in their own kernel where they run at memcpy speed instead of
+        # serializing the tag/FSM work (probe_tpu47/48).
+        #
+        # Layout: byte-group word w=(nws,lane) at byte lane s, group-word b
+        # holds string 4*(nws*128+lane) + 4096*b + s (module header with
+        # NW=1024), so grid cell (nws, b) owns the contiguous 512-string
+        # row block 4096*b + 512*nws and its l4-packed output row is
+        # 4*lane + s — string-major order falls out of the index map.
+        self._fields_flat = [
+            (name, gi, off_b, nb)
+            for gi, grp in enumerate(self._wgroups)
+            for (name, off_b, nb) in grp
+        ]
+
+
+        self._model_arrays = dict(
+            accepted_states=jnp.asarray(model.accepted_states),
+            accept_mask=jnp.asarray(model.accept_mask),
+            dummy_states=jnp.asarray(model.dummy_states),
+            dead_states=jnp.asarray(model.dead_states),
+            first_states=jnp.asarray(model.first_states),
+        )
+        self._val_dtype = jnp.uint8 if compact else jnp.int32
+
+        # core (a bound method, unjitted) works inside shard_map;
+        # _run is the jitted entry.
+        self._run = jax.jit(self.core)
+
+    def _make_scan(
+        self,
+        circ: DefCircuits,
+        NWS: int,
+        fused_pack: bool = False,
+        cls_off: int = 0,
+    ):
+        sb = circ.sb
+        live = circ.live_states
+        n_live = len(live)
+        NT = min(self.nws_tile, NWS)
+        while NWS % NT != 0:
+            NT -= 1
+        n_b = NWS // NT
+        KIN = self._kp if (self.class_stage and not circ.fold_class) else 8
+
+        def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
+            l = pl.program_id(1)
+
+            if fused_pack:
+                bits_scr = maybe_bits_scr[0]
+                qmask = jnp.int32(_QUAD_MASK)
+                for j in range(8):
+                    acc = None
+                    for m in range(8):
+                        v = ((bits_ref[:, m] >> j) & qmask) << m
+                        acc = v if acc is None else acc | v
+                    bits_scr[:, j] = acc
+                plane_ref = bits_scr
+            else:
+                plane_ref = bits_ref
+
+            @pl.when(l == 0)
+            def _():
+                for j, s in enumerate(live):
+                    st_scr[j] = jnp.full(
+                        (NT, LANE),
+                        -1 if s == circ.first_state else 0,
+                        jnp.int32,
+                    )
+
+            carry0 = tuple(st_scr[j] for j in range(n_live))
+
+            def body(i, carry):
+                if circ.fold_class:
+                    env = {
+                        f"byte_bit{j}": plane_ref[i, j] for j in range(8)
+                    }
+                else:
+                    env = {
+                        name: plane_ref[i, cls_off + c]
+                        for c, name in enumerate(circ.class_plane_names)
+                    }
+                env.update(
+                    {f"st{s}": carry[j] for j, s in enumerate(live)}
+                )
+                out = circ.step_prog.run(env)
+                for j in range(sb):
+                    out_ref[:, j, i] = out[f"log{j}"]
+                return tuple(out[f"nst{s}"] for s in live)
+
+            final = _fori_unrolled(self.lc, body, carry0, self.unroll)
+            for j in range(n_live):
+                st_scr[j] = final[j]
+
+        scratch = [pltpu.VMEM((n_live, NT, LANE), jnp.int32)]
+        if fused_pack:
+            scratch.append(pltpu.VMEM((self.lc, 8, NT, LANE), jnp.int32))
+        return pl.pallas_call(
+            kern,
+            grid=(n_b, self._n_l),
+            in_specs=[
+                pl.BlockSpec(
+                    (self.lc, KIN, NT, LANE),
+                    lambda b, l: (l, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            # NWS-major output: downstream packed-domain stages tile the
+            # word-group axis, and (self.L, LANE) minor dims satisfy Mosaic's
+            # (8, 128) block-divisibility rule at any NWS.
+            out_specs=pl.BlockSpec(
+                (NT, sb, self.lc, LANE),
+                lambda b, l: (b, 0, l, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (NWS, sb, self.L_pad, LANE), jnp.int32
+            ),
+            scratch_shapes=scratch,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _make_scan_fused(self, NWS: int, fused_pack: bool = False):
+        NT = min(self.nws_tile, NWS)
+        while NWS % NT != 0:
+            NT -= 1
+        n_b = NWS // NT
+        # _kp is 8 (byte planes) when self.class_stage is off — which
+        # fused_pack forces — and the concatenated class-plane count
+        # otherwise, so it is the input plane count in every mode.
+        KIN = self._kp
+
+        def kern(bits_ref, out_ref, st_scr, *maybe_bits_scr):
+            l = pl.program_id(1)
+
+            if fused_pack:
+                bits_scr = maybe_bits_scr[0]
+                qmask = jnp.int32(_QUAD_MASK)
+                for j in range(8):
+                    acc = None
+                    for mm in range(8):
+                        v = ((bits_ref[:, mm] >> j) & qmask) << mm
+                        acc = v if acc is None else acc | v
+                    bits_scr[:, j] = acc
+                plane_ref = bits_scr
+            else:
+                plane_ref = bits_ref
+
+            # carry layout: def-major one-hot planes
+            live_off = []
+            off_c = 0
+            for c in self.circuits:
+                live_off.append(off_c)
+                off_c += len(c.live_states)
+            n_carry = off_c
+
+            @pl.when(l == 0)
+            def _():
+                for d, c in enumerate(self.circuits):
+                    for j, s in enumerate(c.live_states):
+                        st_scr[live_off[d] + j] = jnp.full(
+                            (NT, LANE),
+                            -1 if s == c.first_state else 0,
+                            jnp.int32,
+                        )
+
+            carry0 = tuple(st_scr[j] for j in range(n_carry))
+
+            def body(i, carry):
+                nxt: List = []
+                for d, c in enumerate(self.circuits):
+                    if c.fold_class:
+                        env = {
+                            f"byte_bit{j}": plane_ref[i, j]
+                            for j in range(8)
+                        }
+                    else:
+                        env = {
+                            name: plane_ref[i, self._cls_off[d] + j]
+                            for j, name in enumerate(c.class_plane_names)
+                        }
+                    env.update(
+                        {
+                            f"st{s}": carry[live_off[d] + j]
+                            for j, s in enumerate(c.live_states)
+                        }
+                    )
+                    out = c.step_prog.run(env)
+                    for j in range(c.sb):
+                        out_ref[:, self._sb_off[d] + j, i] = out[f"log{j}"]
+                    nxt.extend(out[f"nst{s}"] for s in c.live_states)
+                return tuple(nxt)
+
+            final = _fori_unrolled(self.lc, body, carry0, self.unroll)
+            for j in range(n_carry):
+                st_scr[j] = final[j]
+
+        n_carry_total = sum(len(c.live_states) for c in self.circuits)
+        scratch = [pltpu.VMEM((n_carry_total, NT, LANE), jnp.int32)]
+        if fused_pack:
+            scratch.append(pltpu.VMEM((self.lc, 8, NT, LANE), jnp.int32))
+        return pl.pallas_call(
+            kern,
+            grid=(n_b, self._n_l),
+            in_specs=[
+                pl.BlockSpec(
+                    (self.lc, KIN, NT, LANE),
+                    lambda b, l: (l, 0, b, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (NT, self._sb_sum, self.lc, LANE),
+                lambda b, l: (b, 0, l, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (NWS, self._sb_sum, self.L_pad, LANE), jnp.int32
+            ),
+            scratch_shapes=scratch,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _make_pack(self, NWS: int):
+        NT = min(self.nws_tile, NWS)
+        while NWS % NT != 0:
+            NT -= 1
+        KOUT = self._kp if self.class_stage else 8
+
+        def kern(*refs):
+            if self._en_in_pack:
+                r_ref, len_ref, out_ref, en_ref = refs
+            else:
+                r_ref, out_ref = refs
+            mask = jnp.int32(_QUAD_MASK)
+            planes = []
+            for j in range(8):
+                acc = None
+                for m in range(8):
+                    v = ((r_ref[:, m] >> j) & mask) << m
+                    acc = v if acc is None else acc | v
+                planes.append(acc)
+            if self.class_stage:
+                # run each def's byte->class circuit position-parallel
+                # (moves the class BDD off the scan's serial chain)
+                env = {f"byte_bit{j}": planes[j] for j in range(8)}
+                for d, circ in enumerate(self.circuits):
+                    out = circ.class_prog.run(env)
+                    for c, name in enumerate(circ.class_plane_names):
+                        out_ref[:, self._cls_off[d] + c] = out[name]
+            else:
+                for j in range(8):
+                    out_ref[:, j] = planes[j]
+            if self._en_in_pack:
+                l = pl.program_id(1)
+                pos = l * self._plc + jax.lax.broadcasted_iota(
+                    jnp.int32, (NT, self._plc, LANE), 1
+                )
+                lv = len_ref[...]  # [NT, LANE, 32]
+                acc = None
+                for beta in range(32):
+                    # static slice + trailing-1 reshape (a no-op
+                    # relayout), NOT integer indexing: int+newaxis
+                    # indexing lowers to a >2D gather, which this
+                    # Mosaic rejects (probe58_quick r4 traceback).
+                    lvb = jax.lax.slice_in_dim(
+                        lv, beta, beta + 1, axis=2
+                    ).reshape(NT, 1, LANE)
+                    bit = (pos < lvb).astype(jnp.int32) << beta
+                    acc = bit if acc is None else acc | bit
+                en_ref[...] = acc
+
+        in_specs = [
+            pl.BlockSpec(
+                (self._plc, 8, NT, LANE),
+                lambda b, l: (l, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_specs = pl.BlockSpec(
+            (self._plc, KOUT, NT, LANE),
+            lambda b, l: (l, 0, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (self.L_pad, KOUT, NWS, LANE), jnp.int32
+        )
+        if self._en_in_pack:
+            in_specs.append(
+                pl.BlockSpec(
+                    (NT, LANE, 32),
+                    lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_specs = [
+                out_specs,
+                pl.BlockSpec(
+                    (NT, self._plc, LANE),
+                    lambda b, l: (b, l, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((NWS, self.L_pad, LANE), jnp.int32),
+            ]
+        return pl.pallas_call(
+            kern,
+            grid=(NWS // NT, self.L_pad // self._plc),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _make_qpack(self, NWS: int):
+        NT = min(self.nws_tile, NWS)
+        while NWS % NT != 0:
+            NT -= 1
+        W = NT * LANE
+        KOUT = self._kp if self.class_stage else 8
+
+        def kern(*refs):
+            if self._en_in_pack:
+                ch_ref, len_ref, out_ref, en_ref = refs
+            else:
+                ch_ref, out_ref = refs
+            ch = ch_ref[...].astype(jnp.int32)  # [8, W, 4, self._plc]
+            mask = jnp.int32(_QUAD_MASK)
+            planes = [None] * 8
+            for m in range(8):
+                word = None
+                for s2 in range(4):
+                    v = ch[m, :, s2, :] << (8 * s2)
+                    word = v if word is None else word | v
+                Rm = jnp.swapaxes(word, 0, 1)  # [self._plc, W]
+                for j in range(8):
+                    v = ((Rm >> j) & mask) << m
+                    planes[j] = v if planes[j] is None else planes[j] | v
+            # planes[j]: [self._plc, W] == [self._plc, NT*LANE]; out block wants
+            # (self._plc, KOUT, NT, LANE)
+            def shaped(p):
+                return p.reshape(self._plc, NT, LANE)
+
+            if self.class_stage:
+                env = {f"byte_bit{j}": planes[j] for j in range(8)}
+                for d, circ in enumerate(self.circuits):
+                    out = circ.class_prog.run(env)
+                    for c, name in enumerate(circ.class_plane_names):
+                        out_ref[:, self._cls_off[d] + c] = shaped(out[name])
+            else:
+                for j in range(8):
+                    out_ref[:, j] = shaped(planes[j])
+            if self._en_in_pack:
+                l = pl.program_id(1)
+                pos = l * self._plc + jax.lax.broadcasted_iota(
+                    jnp.int32, (NT, self._plc, LANE), 1
+                )
+                lv = len_ref[...]
+                acc = None
+                for beta in range(32):
+                    # slice + no-op reshape, not int indexing (>2D
+                    # gather is rejected by this Mosaic — see
+                    # make_pack above)
+                    lvb = jax.lax.slice_in_dim(
+                        lv, beta, beta + 1, axis=2
+                    ).reshape(NT, 1, LANE)
+                    bit = (pos < lvb).astype(jnp.int32) << beta
+                    acc = bit if acc is None else acc | bit
+                en_ref[...] = acc
+
+        in_specs = [
+            pl.BlockSpec(
+                (8, W, 4, self._plc),
+                lambda b, l: (0, b, 0, l),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_specs = pl.BlockSpec(
+            (self._plc, KOUT, NT, LANE),
+            lambda b, l: (l, 0, b, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct(
+            (self.L_pad, KOUT, NWS, LANE), jnp.int32
+        )
+        if self._en_in_pack:
+            in_specs.append(
+                pl.BlockSpec(
+                    (NT, LANE, 32),
+                    lambda b, l: (b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            out_specs = [
+                out_specs,
+                pl.BlockSpec(
+                    (NT, self._plc, LANE),
+                    lambda b, l: (b, l, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ]
+            out_shape = [
+                out_shape,
+                jax.ShapeDtypeStruct((NWS, self.L_pad, LANE), jnp.int32),
+            ]
+        return pl.pallas_call(
+            kern,
+            grid=(NWS // NT, self.L_pad // self._plc),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _make_post(self, NWS: int):
+        # All arrays lead with the word-group (NWS) axis so blocks end
+        # in (self.L_pad, LANE) — Mosaic requires the last two block dims be
+        # (multiple of 8, multiple of 128) or the full array dims.
+        sbs = [c.sb for c in self.circuits]
+
+        soff = self._sb_off
+
+        def kern(*refs):
+            log_ref = refs[0]  # fused [*, self._sb_sum, self.L_pad, LANE] stack
+            en_ref = refs[1]
+            out_ref = refs[2] if not self._direct_mode else None
+            fb_ref = refs[3] if self._bytes_mode else None
+            out_refs = refs[2:]
+            en = en_ref[0, 0]  # [self.L_pad, LANE]
+            zrow = jnp.zeros((1, LANE), jnp.int32)
+
+            def put(name, planes):
+                if self._direct_mode or name not in self._post_off:
+                    return
+                o, nb = self._post_off[name]
+                for j in range(nb):
+                    out_ref[0, o + j] = (
+                        planes[j] if j < len(planes) else jnp.zeros_like(en)
+                    )
+
+            ids_sum = None
+            start_any = None
+            endf_any = None
+            for d, circ in enumerate(self.circuits):
+                nxt = [log_ref[0, soff[d] + j] for j in range(sbs[d])]
+                first_bits = [
+                    jnp.full(
+                        (1, LANE),
+                        -1 if (circ.first_state >> j) & 1 else 0,
+                        jnp.int32,
+                    )
+                    for j in range(sbs[d])
+                ]
+                prv = [
+                    jnp.concatenate(
+                        [first_bits[j], nxt[j][: self.L_pad - 1]], 0
+                    )
+                    for j in range(sbs[d])
+                ]
+                env = {f"prev{j}": prv[j] for j in range(sbs[d])}
+                env.update({f"next{j}": nxt[j] for j in range(sbs[d])})
+                tag = circ.tag_prog.run(env)
+                idp = [tag[f"id{j}"] & en for j in range(self.idb)]
+                stp = tag["is_start"] & en
+                efp = tag["is_end"] & en
+                put(f"ids{d}", idp)
+                put(f"start{d}", [stp])
+                put(f"endf{d}", [efp])
+                if ids_sum is None:
+                    ids_sum, start_any, endf_any = list(idp), stp, efp
+                else:
+                    ids_sum = plane_add(
+                        ids_sum, idp, self.idb + d.bit_length() + 1
+                    )
+                    start_any = start_any | stp
+                    endf_any = endf_any | efp
+            put("idsum", ids_sum)
+            put("start_any", [start_any])
+            put("endf_any", [endf_any])
+
+            # forward FSM (src/lib.rs:598-645)
+            prev_sum = [
+                jnp.concatenate([zrow, p[: self.L_pad - 1]], 0) for p in ids_sum
+            ]
+            changed = None
+            for a, b in zip(ids_sum, prev_sum):
+                x = a ^ b
+                changed = x if changed is None else (changed | x)
+            prev_endf = jnp.concatenate([zrow, endf_any[: self.L_pad - 1]], 0)
+            is_set = start_any & changed
+            is_reset = ~start_any & prev_endf & changed
+            fwd = _fsm_log_scan(~(is_set | is_reset), is_set, reverse=False)
+
+            # backward FSM (src/lib.rs:663-714)
+            next_sum = [
+                jnp.concatenate([p[1:], zrow], 0) for p in ids_sum
+            ]
+            changed_b = None
+            for a, b in zip(ids_sum, next_sum):
+                x = a ^ b
+                changed_b = x if changed_b is None else (changed_b | x)
+            next_start = jnp.concatenate([start_any[1:], zrow], 0)
+            set_b = endf_any & changed_b
+            reset_b = ~endf_any & next_start & changed_b
+            bwd = _fsm_log_scan(~(set_b | reset_b), set_b, reverse=True)
+            mask = fwd & bwd
+            if self._bytes_mode or self._direct_mode:
+                avail: Dict[str, List[jnp.ndarray]] = {
+                    "flags": [mask, fwd, bwd, en, start_any, endf_any],
+                    "masked_idsum": [p & mask for p in ids_sum],
+                }
+                for d in range(self.n_defs):
+                    avail[f"states{d}"] = [
+                        log_ref[0, soff[d] + j] for j in range(sbs[d])
+                    ]
+            if self._direct_mode:
+                # one l4-packed [B, self.L]-major int32 array per field:
+                # byte-lane words -> per-m (LANE*4, self._l4) blocks whose
+                # flat order is the final string order (m, nws, lane,
+                # s) with positions packed 4-per-int32 (probe_tpu48)
+                for fi, (name, _nb) in enumerate(self._dfields):
+                    planes = list(avail[name])
+                    planes += [jnp.zeros_like(en)] * (8 - len(planes))
+                    words = transpose8_planes(planes)
+                    for m in range(8):
+                        rows = words[m].reshape(self._l4, 4, LANE)
+                        qs_t = []
+                        for s in range(4):
+                            acc = None
+                            for j in range(4):
+                                v = (rows[:, j] >> (8 * s)) & 0xFF
+                                v = v << (8 * j)
+                                acc = v if acc is None else acc | v
+                            qs_t.append(jnp.swapaxes(acc, 0, 1))
+                        out_refs[fi][m, 0] = jnp.stack(
+                            qs_t, axis=1
+                        ).reshape(LANE * 4, self._l4)
+            elif self._bytes_mode:
+                for gi, grp in enumerate(self._wgroups):
+                    planes: List[jnp.ndarray] = []
+                    for name, _off_b, _nb in grp:
+                        planes += avail[name]
+                    planes += [jnp.zeros_like(en)] * (8 - len(planes))
+                    words = transpose8_planes(planes)
+                    for b in range(8):
+                        out_ref[0, gi * 8 + b] = words[b]
+                # Final-state boundary planes: per def the log bits of
+                # the state AFTER the last enabled byte (first state
+                # for empty strings) — replaces the XLA take_along
+                # gather and lets match_ok skip the states decode.
                 en_next = jnp.concatenate([en[1:], zrow], 0)
-                bnd = en & ~en_next
-                empty = ~en[0]
+                bnd = en & ~en_next  # last enabled position per string
+                empty = ~en[0]  # [LANE]
                 for d, circ in enumerate(self.circuits):
                     for j in range(8):
                         if j < sbs[d]:
@@ -1362,408 +1293,431 @@ class BitplaneMatcher:
                             )
                             fb_ref[0, d, j] = x[0] | (empty & first_j)
                         else:
-                            fb_ref[0, d, j] = jnp.zeros((LANE,), jnp.int32)
+                            fb_ref[0, d, j] = jnp.zeros(
+                                (LANE,), jnp.int32
+                            )
+            else:
+                put("fwd", [fwd])
+                put("bwd", [bwd])
+                put("mask", [mask])
+                put("masked_idsum", [p & mask for p in ids_sum])
 
-            return pl.pallas_call(
-                kern,
-                grid=(NWS,),
-                in_specs=[
+        in_specs = [
+            pl.BlockSpec(
+                (1, self._sb_sum, self.L_pad, LANE),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, self.L_pad, LANE),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        if self._direct_mode:
+            out_specs = [
+                pl.BlockSpec(
+                    (8, 1, LANE * 4, self._l4),
+                    lambda b: (0, b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+                for _ in self._dfields
+            ]
+            out_shape = [
+                jax.ShapeDtypeStruct((8, NWS, LANE * 4, self._l4), jnp.int32)
+                for _ in self._dfields
+            ]
+        else:
+            out_specs = pl.BlockSpec(
+                (1, self._p_total, self.L_pad, LANE),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            out_shape = jax.ShapeDtypeStruct(
+                (NWS, self._p_total, self.L_pad, LANE), jnp.int32
+            )
+            if self._bytes_mode:
+                out_specs = [
+                    out_specs,
                     pl.BlockSpec(
-                        (1, SB_sum, L_pad, LANE),
+                        (1, self.n_defs, 8, LANE),
                         lambda b: (b, 0, 0, 0),
                         memory_space=pltpu.VMEM,
                     ),
-                    pl.BlockSpec(
-                        (1, 1, L_pad, LANE),
-                        lambda b: (b, 0, 0, 0),
-                        memory_space=pltpu.VMEM,
+                ]
+                out_shape = [
+                    out_shape,
+                    jax.ShapeDtypeStruct(
+                        (NWS, self.n_defs, 8, LANE), jnp.int32
                     ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, n_defs, 8, LANE),
+                ]
+        return pl.pallas_call(
+            kern,
+            grid=(NWS,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _make_fb_only(self, NWS: int):
+        sbs = [c.sb for c in self.circuits]
+        soff = self._sb_off
+
+        def kern(log_ref, en_ref, fb_ref):
+            en = en_ref[0, 0]
+            zrow = jnp.zeros((1, LANE), jnp.int32)
+            en_next = jnp.concatenate([en[1:], zrow], 0)
+            bnd = en & ~en_next
+            empty = ~en[0]
+            for d, circ in enumerate(self.circuits):
+                for j in range(8):
+                    if j < sbs[d]:
+                        x = bnd & log_ref[0, soff[d] + j]
+                        while x.shape[0] > 1:
+                            half = x.shape[0] // 2
+                            y = x[:half] | x[half : 2 * half]
+                            if x.shape[0] % 2:
+                                y = jnp.concatenate(
+                                    [y[:1] | x[-1:], y[1:]], 0
+                                )
+                            x = y
+                        first_j = jnp.int32(
+                            -1 if (circ.first_state >> j) & 1 else 0
+                        )
+                        fb_ref[0, d, j] = x[0] | (empty & first_j)
+                    else:
+                        fb_ref[0, d, j] = jnp.zeros((LANE,), jnp.int32)
+
+        return pl.pallas_call(
+            kern,
+            grid=(NWS,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, self._sb_sum, self.L_pad, LANE),
                     lambda b: (b, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct(
-                    (NWS, n_defs, 8, LANE), jnp.int32
+                pl.BlockSpec(
+                    (1, 1, self.L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
                 ),
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_fb_only = make_fb_only
-
-        # ----- standalone decode kernel (H2R_EMIT=kdecode) -----
-        # Replaces the XLA tail's per-field transpose passes AND the masked-
-        # chars pass with ONE light kernel: read the byte-group words once,
-        # emit every field column (and mask*chars) as l4-packed int32 arrays
-        # whose [B, L] uint8 views are zero-copy bitcast+reshape.  Unlike
-        # the rejected "direct" mode (probe_tpu49), the tile transposes live
-        # in their own kernel where they run at memcpy speed instead of
-        # serializing the tag/FSM work (probe_tpu47/48).
-        #
-        # Layout: byte-group word w=(nws,lane) at byte lane s, group-word b
-        # holds string 4*(nws*128+lane) + 4096*b + s (module header with
-        # NW=1024), so grid cell (nws, b) owns the contiguous 512-string
-        # row block 4096*b + 512*nws and its l4-packed output row is
-        # 4*lane + s — string-major order falls out of the index map.
-        fields_flat = [
-            (name, gi, off_b, nb)
-            for gi, grp in enumerate(wgroups)
-            for (name, off_b, nb) in grp
-        ]
-        self._fields_flat = fields_flat
-
-        def make_decode(NWS: int):
-            G = len(wgroups)
-            n_fields = len(fields_flat)
-
-            def kern(g_ref, ch_ref, *out_refs):
-                def to_rows(v):
-                    # [L_pad, LANE] byte-lane words -> [512, L4] l4-packed
-                    rows = v.reshape(L4, 4, LANE)
-                    qs = []
-                    for s2 in range(4):
-                        acc = None
-                        for j in range(4):
-                            b8 = (rows[:, j] >> (8 * s2)) & 0xFF
-                            b8 = b8 << (8 * j)
-                            acc = b8 if acc is None else acc | b8
-                        qs.append(jnp.swapaxes(acc, 0, 1))  # [LANE, L4]
-                    return jnp.stack(qs, axis=1).reshape(LANE * 4, L4)
-
-                flags_rows = None
-                for fi, (name, gi, off_b, nb) in enumerate(fields_flat):
-                    w = g_ref[0, gi, 0]
-                    maskrep = jnp.int32(((1 << nb) - 1) * 0x01010101)
-                    v = (w >> off_b) & maskrep
-                    r = to_rows(v)
-                    out_refs[fi][...] = r
-                    if name == "flags":
-                        flags_rows = r
-                # masked chars = chars & 0xFF-expanded mask bit (flags bit 0)
-                mask4 = flags_rows & jnp.int32(0x01010101)
-                maskff = mask4 * 255
-                out_refs[n_fields][...] = ch_ref[...] & maskff
-
-            # string-major row block: g = 512*(b*NWS + nws) + 4*lane + s
-            row_map = lambda nws, b: (b * NWS + nws, 0)
-            return pl.pallas_call(
-                kern,
-                grid=(NWS, 8),
-                in_specs=[
-                    pl.BlockSpec(
-                        (1, G, 1, L_pad, LANE),
-                        lambda nws, b: (nws, 0, b, 0, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                    pl.BlockSpec(
-                        (LANE * 4, L4), row_map, memory_space=pltpu.VMEM
-                    ),
-                ],
-                out_specs=[
-                    pl.BlockSpec(
-                        (LANE * 4, L4), row_map, memory_space=pltpu.VMEM
-                    )
-                ]
-                * (n_fields + 1),
-                out_shape=[
-                    jax.ShapeDtypeStruct((NWS * LANE * 32, L4), jnp.int32)
-                ]
-                * (n_fields + 1),
-                interpret=interpret,
-                compiler_params=None
-                if interpret
-                else pltpu.CompilerParams(
-                    vmem_limit_bytes=vmem_limit
-                ),
-            )
-
-        self._make_decode = make_decode
-
-        def final_from_fb(fb, B):
-            """[NWS, n_defs, 8, LANE] boundary log planes -> final state
-            [B, n_defs] (the packed-domain replacement for the take_along
-            gather; bit beta = 8s+m of word w is string 4*(w + NW*m) + s,
-            so per-def values reorder as (m, w, s))."""
-            NW = B // 32
-            beta = jnp.arange(32, dtype=jnp.int32)
-            bits = (fb[:, :, :, :, None] >> beta) & 1
-            shifts = jnp.arange(8, dtype=jnp.int32)
-            vals_wb = (bits << shifts[None, None, :, None, None]).sum(
-                axis=2
-            )  # [NWS, n_defs, LANE, 32]
-            cols = []
-            for d in range(n_defs):
-                v = vals_wb[:, d].reshape(NW, 4, 8)
-                cols.append(v.transpose(2, 0, 1).reshape(B))
-            return jnp.stack(cols, axis=1)
-
-        model_arrays = dict(
-            accepted_states=jnp.asarray(model.accepted_states),
-            accept_mask=jnp.asarray(model.accept_mask),
-            dummy_states=jnp.asarray(model.dummy_states),
-            dead_states=jnp.asarray(model.dead_states),
-            first_states=jnp.asarray(model.first_states),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, self.n_defs, 8, LANE),
+                lambda b: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct(
+                (NWS, self.n_defs, 8, LANE), jnp.int32
+            ),
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
         )
-        val_dtype = jnp.uint8 if compact else jnp.int32
 
-        def run(chars, lengths):
-            B, Lin = chars.shape
-            assert Lin == L
-            # whole packed words need B % (32*LANE) == 0; pad in-graph and
-            # slice the outputs back (callers may invoke run/core directly,
-            # e.g. under shard_map or benchmark harnesses)
-            B_orig = B
-            tile = 32 * LANE
-            if B % tile != 0:
-                pad = tile - B % tile
-                chars = jnp.pad(chars, ((0, pad), (0, 0)))
-                lengths = jnp.pad(lengths, (0, pad))
-                B = B + pad
-            NW = B // 32
-            NWS = NW // LANE
+    def _make_decode(self, NWS: int):
+        G = len(self._wgroups)
+        n_fields = len(self._fields_flat)
 
-            # 1. pack byte bit-planes -> kernel input stack (bitcast view
-            # in XLA; plane extraction in the pack kernel, or fused into
-            # the scan kernel's prologue for single-def models)
-            R = raw_quads(chars, L_pad).reshape(L_pad, 8, NWS, LANE)
+        def kern(g_ref, ch_ref, *out_refs):
+            def to_rows(v):
+                # [self.L_pad, LANE] byte-lane words -> [512, self._l4] l4-packed
+                rows = v.reshape(self._l4, 4, LANE)
+                qs = []
+                for s2 in range(4):
+                    acc = None
+                    for j in range(4):
+                        b8 = (rows[:, j] >> (8 * s2)) & 0xFF
+                        b8 = b8 << (8 * j)
+                        acc = b8 if acc is None else acc | b8
+                    qs.append(jnp.swapaxes(acc, 0, 1))  # [LANE, self._l4]
+                return jnp.stack(qs, axis=1).reshape(LANE * 4, self._l4)
 
-            # enable plane (pos < length) in the packed NWS-major domain.
-            # bit beta = 8s+m of word w belongs to string 4*(w + NW*m) + s,
-            # so the per-word length table is lengths viewed (m, w, s) and
-            # reordered to (w, beta).
-            pos = jnp.arange(L, dtype=jnp.int32)
-            enable_bl = pos[None, :] < lengths[:, None]  # [B, L] bool
-            len_wb = (
-                lengths.reshape(8, NW, 4)
-                .transpose(1, 2, 0)
-                .reshape(NWS, LANE, 32)
+            flags_rows = None
+            for fi, (name, gi, off_b, nb) in enumerate(self._fields_flat):
+                w = g_ref[0, gi, 0]
+                maskrep = jnp.int32(((1 << nb) - 1) * 0x01010101)
+                v = (w >> off_b) & maskrep
+                r = to_rows(v)
+                out_refs[fi][...] = r
+                if name == "flags":
+                    flags_rows = r
+            # masked chars = chars & 0xFF-expanded mask bit (flags bit 0)
+            mask4 = flags_rows & jnp.int32(0x01010101)
+            maskff = mask4 * 255
+            out_refs[n_fields][...] = ch_ref[...] & maskff
+
+        # string-major row block: g = 512*(b*NWS + nws) + 4*lane + s
+        row_map = lambda nws, b: (b * NWS + nws, 0)
+        return pl.pallas_call(
+            kern,
+            grid=(NWS, 8),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, G, 1, self.L_pad, LANE),
+                    lambda nws, b: (nws, 0, b, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (LANE * 4, self._l4), row_map, memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (LANE * 4, self._l4), row_map, memory_space=pltpu.VMEM
+                )
+            ]
+            * (n_fields + 1),
+            out_shape=[
+                jax.ShapeDtypeStruct((NWS * LANE * 32, self._l4), jnp.int32)
+            ]
+            * (n_fields + 1),
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
+    def _final_from_fb(self, fb, B):
+        """[NWS, self.n_defs, 8, LANE] boundary log planes -> final state
+        [B, self.n_defs] (the packed-domain replacement for the take_along
+        gather; bit beta = 8s+m of word w is string 4*(w + NW*m) + s,
+        so per-def values reorder as (m, w, s))."""
+        NW = B // 32
+        beta = jnp.arange(32, dtype=jnp.int32)
+        bits = (fb[:, :, :, :, None] >> beta) & 1
+        shifts = jnp.arange(8, dtype=jnp.int32)
+        vals_wb = (bits << shifts[None, None, :, None, None]).sum(
+            axis=2
+        )  # [NWS, self.n_defs, LANE, 32]
+        cols = []
+        for d in range(self.n_defs):
+            v = vals_wb[:, d].reshape(NW, 4, 8)
+            cols.append(v.transpose(2, 0, 1).reshape(B))
+        return jnp.stack(cols, axis=1)
+
+    def core(self, chars, lengths):
+        B, Lin = chars.shape
+        assert Lin == self.L
+        # whole packed words need B % (32*LANE) == 0; pad in-graph and
+        # slice the outputs back (callers may invoke run/core directly,
+        # e.g. under shard_map or benchmark harnesses)
+        B_orig = B
+        tile = 32 * LANE
+        if B % tile != 0:
+            pad = tile - B % tile
+            chars = jnp.pad(chars, ((0, pad), (0, 0)))
+            lengths = jnp.pad(lengths, (0, pad))
+            B = B + pad
+        NW = B // 32
+        NWS = NW // LANE
+
+        # 1. pack byte bit-planes -> kernel input stack (bitcast view
+        # in XLA; plane extraction in the pack kernel, or fused into
+        # the scan kernel's prologue for single-def models)
+        R = raw_quads(chars, self.L_pad).reshape(self.L_pad, 8, NWS, LANE)
+
+        # enable plane (pos < length) in the packed NWS-major domain.
+        # bit beta = 8s+m of word w belongs to string 4*(w + NW*m) + s,
+        # so the per-word length table is lengths viewed (m, w, s) and
+        # reordered to (w, beta).
+        pos = jnp.arange(self.L, dtype=jnp.int32)
+        enable_bl = pos[None, :] < lengths[:, None]  # [B, self.L] bool
+        len_wb = (
+            lengths.reshape(8, NW, 4)
+            .transpose(1, 2, 0)
+            .reshape(NWS, LANE, 32)
+        )
+        if self.fuse_pack:
+            bits_stack = R  # raw quads; scan kernel extracts in VMEM
+        elif self._qpack:
+            # raw_quads fused into the pack kernel: read the [B, self.L]
+            # chars via the pure-view [8m, NW, 4s, self.L] reshape
+            ch_v = chars.reshape(8, NW, 4, self.L)
+            if self._en_in_pack:
+                bits_stack, en_plane = self._make_qpack(NWS)(ch_v, len_wb)
+            else:
+                bits_stack = self._make_qpack(NWS)(ch_v)
+        elif self._en_in_pack:
+            # pack kernel computes byte/class planes AND the enable
+            # plane (H2R_EN_PACK=1), replacing the XLA pass below
+            bits_stack, en_plane = self._make_pack(NWS)(R, len_wb)
+        else:
+            bits_stack = self._make_pack(NWS)(R)  # [self.L_pad, 8, NWS, LANE]
+        if self.fuse_pack or not self._en_in_pack:
+            beta = jnp.arange(32, dtype=jnp.int32)
+            en_bits = (
+                jnp.arange(self.L_pad, dtype=jnp.int32)[None, :, None, None]
+                < len_wb[:, None]
+            ).astype(jnp.int32) << beta
+            en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, self.L_pad, LANE]
+
+        # 2. fused scan kernel: all defs' step circuits in one pass
+        # over the plane stack (single read; cross-def chain ILP)
+        logs_stack = self._make_scan_fused(NWS, fused_pack=self.fuse_pack)(
+            bits_stack
+        )  # [NWS, self._sb_sum, self.L_pad, LANE]
+        logs_per_def = [
+            logs_stack[:, self._sb_off[d] : self._sb_off[d] + c.sb]
+            for d, c in enumerate(self.circuits)
+        ]
+
+        if self.columns == "match":
+            return self._finish_match(logs_stack, en_plane, B, B_orig)
+
+        vals, planes_of, fb = self._post_decode(
+            chars, B, NWS, logs_stack, logs_per_def, en_plane
+        )
+        if self.columns == "witness":
+            return self._finish_witness(
+                chars, lengths, B, B_orig, vals, planes_of, fb,
+                logs_per_def, en_plane,
             )
-            if fuse_pack:
-                bits_stack = R  # raw quads; scan kernel extracts in VMEM
-            elif self._qpack:
-                # raw_quads fused into the pack kernel: read the [B, L]
-                # chars via the pure-view [8m, NW, 4s, L] reshape
-                ch_v = chars.reshape(8, NW, 4, L)
-                if self._en_in_pack:
-                    bits_stack, en_plane = make_qpack(NWS)(ch_v, len_wb)
-                else:
-                    bits_stack = make_qpack(NWS)(ch_v)
-            elif self._en_in_pack:
-                # pack kernel computes byte/class planes AND the enable
-                # plane (H2R_EN_PACK=1), replacing the XLA pass below
-                bits_stack, en_plane = make_pack(NWS)(R, len_wb)
-            else:
-                bits_stack = make_pack(NWS)(R)  # [L_pad, 8, NWS, LANE]
-            if fuse_pack or not self._en_in_pack:
-                beta = jnp.arange(32, dtype=jnp.int32)
-                en_bits = (
-                    jnp.arange(L_pad, dtype=jnp.int32)[None, :, None, None]
-                    < len_wb[:, None]
-                ).astype(jnp.int32) << beta
-                en_plane = en_bits.sum(-1, dtype=jnp.int32)  # [NWS, L_pad, LANE]
+        return self._finish_full(
+            chars, lengths, B, B_orig, enable_bl, planes_of, logs_per_def
+        )
+    def _finish_match(self, logs_stack, en_plane, B, B_orig):
+        """columns="match" serving: reduce each def's boundary state
+        straight to the [B]-sized verdicts (no witness columns)."""
+        NWS = logs_stack.shape[0]
+        fbm = self._make_fb_only(NWS)(logs_stack, en_plane[:, None])
+        final = self._final_from_fb(fbm, B)
+        accepted = self._model_arrays["accept_mask"][
+            jnp.arange(self.n_defs)[None, :], final
+        ]
+        has_dead = final == self._model_arrays["dead_states"][None, :]
+        out = dict(
+            final_states=final,
+            accepted=accepted,
+            has_dead=has_dead,
+            match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+        )
+        if B_orig != B:
+            out = {k: v[:B_orig] for k, v in out.items()}
+        return out
 
-            # 2. fused scan kernel: all defs' step circuits in one pass
-            # over the plane stack (single read; cross-def chain ILP)
-            logs_stack = make_scan_fused(NWS, fused_pack=fuse_pack)(
-                bits_stack
-            )  # [NWS, SB_sum, L_pad, LANE]
-            logs_per_def = [
-                logs_stack[:, self._sb_off[d] : self._sb_off[d] + c.sb]
-                for d, c in enumerate(self.circuits)
-            ]
-
-            # match-only serving: no witness columns at all — reduce the
-            # boundary states and return the [B]-sized verdicts
-            if columns == "match":
-                fbm = make_fb_only(NWS)(logs_stack, en_plane[:, None])
-                final = final_from_fb(fbm, B)
-                accepted = model_arrays["accept_mask"][
-                    jnp.arange(n_defs)[None, :], final
-                ]
-                has_dead = final == model_arrays["dead_states"][None, :]
-                out = dict(
-                    final_states=final,
-                    accepted=accepted,
-                    has_dead=has_dead,
-                    match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+    def _post_decode(self, chars, B, NWS, logs_stack, logs_per_def,
+                     en_plane):
+        """Stages 3+4: tag + id-sum + mask FSMs, then the per-mode
+        field decode.  direct/kdecode/bytes modes fill ``vals`` (final
+        [B, L] columns); plane modes return a ``planes_of`` accessor;
+        ``fb`` is the final-state boundary plane set when the post
+        kernel emitted it."""
+        fb = None  # final-state boundary planes (bytes/kdecode posts)
+        vals = None
+        planes_of = None
+        if self._direct_mode:
+            # Post kernel wrote l4-packed [B, self.L]-major int32 per field
+            # — the [B, self.L] uint8 column is a zero-copy bitcast+reshape
+            # (flat order (m, nws, lane, s, l4, byte) IS string-major).
+            outs = self._make_post(NWS)(logs_stack, en_plane[:, None])
+            vals = {}
+            for (name, _nb), arr in zip(self._dfields, outs):
+                u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8)
+                col = u8.reshape(B, self.L_pad)
+                vals[name] = col[:, :self.L] if self.L_pad != self.L else col
+        elif self._kdecode_mode:
+            # Post emits byte-group words; the decode KERNEL emits all
+            # field columns + masked chars as l4-packed string-major
+            # int32 — the uint8 view is a zero-copy bitcast+reshape.
+            g4, fb = self._make_post(NWS)(logs_stack, en_plane[:, None])
+            G = len(self._wgroups)
+            chars_pad = (
+                chars if self.L_pad == self.L else jnp.pad(chars, ((0, 0), (0, self.L_pad - self.L)))
+            )
+            ch_l4 = jax.lax.bitcast_convert_type(
+                chars_pad.reshape(B, self._l4, 4), jnp.int32
+            )
+            outs = self._make_decode(NWS)(
+                g4.reshape(NWS, G, 8, self.L_pad, LANE), ch_l4
+            )
+            vals = {}
+            for (name, _gi, _off, _nb), arr in zip(self._fields_flat, outs):
+                u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8).reshape(
+                    B, self.L_pad
                 )
-                if B_orig != B:
-                    out = {k: v[:B_orig] for k, v in out.items()}
-                return out
-
-            # 3+4. tag + id-sum + mask FSMs
-            fb = None  # final-state boundary planes (bytes/kdecode posts)
-            if direct_mode:
-                # Post kernel wrote l4-packed [B, L]-major int32 per field
-                # — the [B, L] uint8 column is a zero-copy bitcast+reshape
-                # (flat order (m, nws, lane, s, l4, byte) IS string-major).
-                outs = make_post(NWS)(logs_stack, en_plane[:, None])
-                vals = {}
-                for (name, _nb), arr in zip(dfields, outs):
-                    u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8)
-                    col = u8.reshape(B, L_pad)
-                    vals[name] = col[:, :L] if L_pad != L else col
-            elif kdecode_mode:
-                # Post emits byte-group words; the decode KERNEL emits all
-                # field columns + masked chars as l4-packed string-major
-                # int32 — the uint8 view is a zero-copy bitcast+reshape.
-                g4, fb = make_post(NWS)(logs_stack, en_plane[:, None])
-                G = len(wgroups)
-                chars_pad = (
-                    chars if L_pad == L else jnp.pad(chars, ((0, 0), (0, L_pad - L)))
-                )
-                ch_l4 = jax.lax.bitcast_convert_type(
-                    chars_pad.reshape(B, L4, 4), jnp.int32
-                )
-                outs = make_decode(NWS)(
-                    g4.reshape(NWS, G, 8, L_pad, LANE), ch_l4
-                )
-                vals = {}
-                for (name, _gi, _off, _nb), arr in zip(fields_flat, outs):
-                    u8 = jax.lax.bitcast_convert_type(arr, jnp.uint8).reshape(
-                        B, L_pad
+                vals[name] = u8 if self.L_pad == self.L else u8[:, :self.L]
+            mc = jax.lax.bitcast_convert_type(outs[-1], jnp.uint8).reshape(
+                B, self.L_pad
+            )
+            vals["masked_characters_pre"] = mc if self.L_pad == self.L else mc[:, :self.L]
+        elif self._bytes_mode:
+            # Post kernel already assembled the final value bytes —
+            # XLA only bitcasts int32 words to their four byte lanes
+            # and transposes to string-major [B, self.L] order (bit beta =
+            # 8s+b of word w is string 4*(w + NW*b) + s, so flat
+            # string order is dims (b, nws, lane, s)).
+            g4, fb = self._make_post(NWS)(logs_stack, en_plane[:, None])
+            G = len(self._wgroups)
+            u8 = jax.lax.bitcast_convert_type(
+                g4.reshape(NWS, G, 8, self.L_pad, LANE)[:, :, :, :self.L],
+                jnp.uint8,
+            )  # [NWS, G, 8, self.L, LANE, 4]
+            vals = {}
+            for gi, grp in enumerate(self._wgroups):
+                arr = u8[:, gi]  # [NWS, 8, self.L, LANE, 4]
+                for name, off_b, nb in grp:
+                    # shift/mask fuses into the transpose; each field
+                    # is written once in final [B, self.L] form with no
+                    # combined intermediate.
+                    v = (arr >> off_b) & ((1 << nb) - 1)
+                    vals[name] = (
+                        v.transpose(1, 0, 3, 4, 2).reshape(B, self.L)
                     )
-                    vals[name] = u8 if L_pad == L else u8[:, :L]
-                mc = jax.lax.bitcast_convert_type(outs[-1], jnp.uint8).reshape(
-                    B, L_pad
-                )
-                vals["masked_characters_pre"] = mc if L_pad == L else mc[:, :L]
-            elif bytes_mode:
-                # Post kernel already assembled the final value bytes —
-                # XLA only bitcasts int32 words to their four byte lanes
-                # and transposes to string-major [B, L] order (bit beta =
-                # 8s+b of word w is string 4*(w + NW*b) + s, so flat
-                # string order is dims (b, nws, lane, s)).
-                g4, fb = make_post(NWS)(logs_stack, en_plane[:, None])
-                G = len(wgroups)
-                u8 = jax.lax.bitcast_convert_type(
-                    g4.reshape(NWS, G, 8, L_pad, LANE)[:, :, :, :L],
-                    jnp.uint8,
-                )  # [NWS, G, 8, L, LANE, 4]
-                vals = {}
-                for gi, grp in enumerate(wgroups):
-                    arr = u8[:, gi]  # [NWS, 8, L, LANE, 4]
-                    for name, off_b, nb in grp:
-                        # shift/mask fuses into the transpose; each field
-                        # is written once in final [B, L] form with no
-                        # combined intermediate.
-                        v = (arr >> off_b) & ((1 << nb) - 1)
-                        vals[name] = (
-                            v.transpose(1, 0, 3, 4, 2).reshape(B, L)
-                        )
-            elif post == "pallas":
-                post_out = make_post(NWS)(logs_stack, en_plane[:, None])
+        elif self._post_mode == "pallas":
+            post_out = self._make_post(NWS)(logs_stack, en_plane[:, None])
 
-                def planes_of(name):
-                    o, nb = self._post_off[name]
-                    return [post_out[:, o + j] for j in range(nb)]
+            def planes_of(name):
+                o, nb = self._post_off[name]
+                return [post_out[:, o + j] for j in range(nb)]
 
-            else:
-                post_planes = _post_xla(
-                    self.circuits, logs_per_def, en_plane, idb, L_pad, NWS
-                )
+        else:
+            post_planes = _post_xla(
+                self.circuits, logs_per_def, en_plane, self.idb, self.L_pad, NWS
+            )
 
-                def planes_of(name, pp=post_planes):
-                    return pp[name]
+            def planes_of(name, pp=post_planes):
+                return pp[name]
+        return vals, planes_of, fb
 
-            if columns == "witness" and not (
-                bytes_mode or direct_mode or kdecode_mode
-            ):
-                # Compact witness emission — the BASELINE ScanTraffic model
-                # (~6 B per input byte): per-def uint8 state rows, masked
-                # ids, masked chars, and ONE packed flags byte
-                # (bit0 mask, 1 fwd, 2 bwd, 3 enable, 4 start-any,
-                # 5 endf-any).  Full-column RegexResult stays the default.
-                named = [
-                    (
-                        "flags",
-                        planes_of("mask")
-                        + planes_of("fwd")
-                        + planes_of("bwd")
-                        + [en_plane]
-                        + [planes_of("start_any")[0]]
-                        + [planes_of("endf_any")[0]],
-                    ),
-                    ("masked_idsum", planes_of("masked_idsum")),
-                ]
-                for d in range(n_defs):
-                    named.append(
-                        (
-                            f"states{d}",
-                            [
-                                logs_per_def[d][:, j]
-                                for j in range(self.circuits[d].sb)
-                            ],
-                        )
-                    )
-                vals = unpack_groups(named, L)
-            if columns == "witness":
-                flags = vals["flags"]
-                mask = flags & 1
-                masked_chars_pre = vals.get("masked_characters_pre")
-                chars_v = chars.astype(jnp.uint8)
-                after = jnp.stack(
-                    [vals[f"states{d}"] for d in range(n_defs)], axis=1
-                )
-                first = model_arrays["first_states"][None, :, None].astype(
-                    jnp.uint8
-                )
-                raw = jnp.concatenate(
-                    [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
-                )
-                posL1 = jnp.arange(L + 1, dtype=jnp.int32)
-                in_range = posL1[None, None, :] <= lengths[:, None, None]
-                dummy = model_arrays["dummy_states"][None, :, None].astype(
-                    jnp.uint8
-                )
-                states = jnp.where(in_range, raw, dummy)
-                if fb is not None:
-                    # post kernel emitted the boundary log planes: no
-                    # gather, and match_ok is independent of the decode
-                    final = final_from_fb(fb, B)
-                else:
-                    final = jnp.take_along_axis(
-                        raw,
-                        lengths[:, None, None]
-                        .repeat(n_defs, 1)
-                        .astype(jnp.int32),
-                        axis=2,
-                    )[:, :, 0].astype(jnp.int32)
-                accepted = model_arrays["accept_mask"][
-                    jnp.arange(n_defs)[None, :], final
-                ]
-                has_dead = final == model_arrays["dead_states"][None, :]
-                out = dict(
-                    states=states,
-                    all_substr_ids=vals["masked_idsum"],
-                    masked_characters=masked_chars_pre
-                    if masked_chars_pre is not None
-                    else mask * chars_v,
-                    flags=flags,
-                    mask=mask,
-                    accepted=accepted,
-                    has_dead=has_dead,
-                    match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
-                )
-                if B_orig != B:
-                    out = {k: v[:B_orig] for k, v in out.items()}
-                return out
-
-            # 5. unpack: one grouped bit-expansion for everything
+    def _finish_witness(self, chars, lengths, B, B_orig, vals,
+                        planes_of, fb, logs_per_def, en_plane):
+        """Assemble the compact witness emission (the BASELINE
+        ScanTraffic column set: states, masked ids, masked chars,
+        packed flags, verdicts)."""
+        if not (
+            self._bytes_mode or self._direct_mode or self._kdecode_mode
+        ):
+            # Compact witness emission — the BASELINE ScanTraffic model
+            # (~6 B per input byte): per-def uint8 state rows, masked
+            # ids, masked chars, and ONE packed flags byte
+            # (bit0 mask, 1 fwd, 2 bwd, 3 enable, 4 start-any,
+            # 5 endf-any).  Full-column RegexResult stays the default.
             named = [
-                ("idsum", planes_of("idsum")),
+                (
+                    "flags",
+                    planes_of("mask")
+                    + planes_of("fwd")
+                    + planes_of("bwd")
+                    + [en_plane]
+                    + [planes_of("start_any")[0]]
+                    + [planes_of("endf_any")[0]],
+                ),
                 ("masked_idsum", planes_of("masked_idsum")),
-                ("fwd", planes_of("fwd")),
-                ("bwd", planes_of("bwd")),
-                ("mask", planes_of("mask")),
             ]
-            for d in range(n_defs):
+            for d in range(self.n_defs):
                 named.append(
                     (
                         f"states{d}",
@@ -1773,87 +1727,158 @@ class BitplaneMatcher:
                         ],
                     )
                 )
-                named.append((f"ids{d}", planes_of(f"ids{d}")))
-                named.append((f"start{d}", planes_of(f"start{d}")))
-                named.append((f"endf{d}", planes_of(f"endf{d}")))
-            vals = unpack_groups(named, L)
-
-            enable = enable_bl.astype(val_dtype)
-            chars_v = chars.astype(val_dtype) * enable
-            fwd = vals["fwd"].astype(val_dtype)
-            bwd = vals["bwd"].astype(val_dtype)
-            mask = vals["mask"].astype(val_dtype)
-            sum_dtype = val_dtype if nsum <= 8 else jnp.int32
-            substr_id_sum = vals["idsum"].astype(sum_dtype)
-            all_ids = vals["masked_idsum"].astype(sum_dtype)
-            masked_chars = mask * chars_v
-
-            states_list = []
-            ids_list = []
-            start_en_list = []
-            end_en_list = []
-            start_sum = None
-            end_sum = None
-            for d in range(n_defs):
-                states_list.append(vals[f"states{d}"])  # int32 [B, L]
-                ids_list.append(vals[f"ids{d}"].astype(val_dtype))
-                st_v = vals[f"start{d}"].astype(val_dtype)
-                ef_v = vals[f"endf{d}"].astype(val_dtype)
-                start_en_list.append(st_v)
-                end_en_list.append(ef_v)
-                start_sum = st_v if start_sum is None else start_sum + st_v
-                end_sum = ef_v if end_sum is None else end_sum + ef_v
-
-            after = jnp.stack(states_list, axis=1)  # [B, n_defs, L]
-            st_dtype = val_dtype if model.s_pad <= 255 else jnp.int32
-            after = after.astype(st_dtype)
-            first = model_arrays["first_states"][None, :, None].astype(st_dtype)
-            raw = jnp.concatenate(
-                [jnp.broadcast_to(first, (B, n_defs, 1)), after], axis=2
-            )
-            posL1 = jnp.arange(L + 1, dtype=jnp.int32)
-            in_range = posL1[None, None, :] <= lengths[:, None, None]
-            dummy = model_arrays["dummy_states"][None, :, None].astype(st_dtype)
-            states = jnp.where(in_range, raw, dummy)
-
+            vals = unpack_groups(named, self.L)
+        flags = vals["flags"]
+        mask = flags & 1
+        masked_chars_pre = vals.get("masked_characters_pre")
+        chars_v = chars.astype(jnp.uint8)
+        after = jnp.stack(
+            [vals[f"states{d}"] for d in range(self.n_defs)], axis=1
+        )
+        first = self._model_arrays["first_states"][None, :, None].astype(
+            jnp.uint8
+        )
+        raw = jnp.concatenate(
+            [jnp.broadcast_to(first, (B, self.n_defs, 1)), after], axis=2
+        )
+        posL1 = jnp.arange(self.L + 1, dtype=jnp.int32)
+        in_range = posL1[None, None, :] <= lengths[:, None, None]
+        dummy = self._model_arrays["dummy_states"][None, :, None].astype(
+            jnp.uint8
+        )
+        states = jnp.where(in_range, raw, dummy)
+        if fb is not None:
+            # post kernel emitted the boundary log planes: no
+            # gather, and match_ok is independent of the decode
+            final = self._final_from_fb(fb, B)
+        else:
             final = jnp.take_along_axis(
-                raw, lengths[:, None, None].repeat(n_defs, 1).astype(jnp.int32),
+                raw,
+                lengths[:, None, None]
+                .repeat(self.n_defs, 1)
+                .astype(jnp.int32),
                 axis=2,
             )[:, :, 0].astype(jnp.int32)
-            accepted = model_arrays["accept_mask"][
-                jnp.arange(n_defs)[None, :], final
-            ]
-            has_dead = final == model_arrays["dead_states"][None, :]
+        accepted = self._model_arrays["accept_mask"][
+            jnp.arange(self.n_defs)[None, :], final
+        ]
+        has_dead = final == self._model_arrays["dead_states"][None, :]
+        out = dict(
+            states=states,
+            all_substr_ids=vals["masked_idsum"],
+            masked_characters=masked_chars_pre
+            if masked_chars_pre is not None
+            else mask * chars_v,
+            flags=flags,
+            mask=mask,
+            accepted=accepted,
+            has_dead=has_dead,
+            match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+        )
+        if B_orig != B:
+            out = {k: v[:B_orig] for k, v in out.items()}
+        return out
 
-            zcol = jnp.zeros((B, 1), start_sum.dtype)
-            is_start_sum = jnp.concatenate([start_sum, zcol], axis=1)
-            is_end_sum = jnp.concatenate([zcol, end_sum], axis=1)
-
-            out = dict(
-                all_enable_flags=enable,
-                all_characters=chars_v,
-                all_substr_ids=all_ids,
-                masked_characters=masked_chars,
-                states=states,
-                substr_ids_per_def=jnp.stack(ids_list, axis=1),
-                start_enable=jnp.stack(start_en_list, axis=1),
-                end_enable=jnp.stack(end_en_list, axis=1),
-                is_start_sum=is_start_sum,
-                is_end_sum=is_end_sum,
-                substr_id_sum=substr_id_sum,
-                fwd_mask=fwd,
-                bwd_mask=bwd,
-                mask=mask,
-                accepted=accepted,
-                has_dead=has_dead,
-                match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+    def _finish_full(self, chars, lengths, B, B_orig, enable_bl,
+                     planes_of, logs_per_def):
+        """Assemble the full RegexResult column set (reference
+        AssignedRegexResult parity, src/lib.rs:79-93)."""
+        # 5. unpack: one grouped bit-expansion for everything
+        named = [
+            ("idsum", planes_of("idsum")),
+            ("masked_idsum", planes_of("masked_idsum")),
+            ("fwd", planes_of("fwd")),
+            ("bwd", planes_of("bwd")),
+            ("mask", planes_of("mask")),
+        ]
+        for d in range(self.n_defs):
+            named.append(
+                (
+                    f"states{d}",
+                    [
+                        logs_per_def[d][:, j]
+                        for j in range(self.circuits[d].sb)
+                    ],
+                )
             )
-            if B_orig != B:
-                out = {k: v[:B_orig] for k, v in out.items()}
-            return out
+            named.append((f"ids{d}", planes_of(f"ids{d}")))
+            named.append((f"start{d}", planes_of(f"start{d}")))
+            named.append((f"endf{d}", planes_of(f"endf{d}")))
+        vals = unpack_groups(named, self.L)
 
-        self.core = run  # unjitted — usable inside shard_map
-        self._run = jax.jit(run)
+        enable = enable_bl.astype(self._val_dtype)
+        chars_v = chars.astype(self._val_dtype) * enable
+        fwd = vals["fwd"].astype(self._val_dtype)
+        bwd = vals["bwd"].astype(self._val_dtype)
+        mask = vals["mask"].astype(self._val_dtype)
+        sum_dtype = self._val_dtype if self.nsum <= 8 else jnp.int32
+        substr_id_sum = vals["idsum"].astype(sum_dtype)
+        all_ids = vals["masked_idsum"].astype(sum_dtype)
+        masked_chars = mask * chars_v
+
+        states_list = []
+        ids_list = []
+        start_en_list = []
+        end_en_list = []
+        start_sum = None
+        end_sum = None
+        for d in range(self.n_defs):
+            states_list.append(vals[f"states{d}"])  # int32 [B, self.L]
+            ids_list.append(vals[f"ids{d}"].astype(self._val_dtype))
+            st_v = vals[f"start{d}"].astype(self._val_dtype)
+            ef_v = vals[f"endf{d}"].astype(self._val_dtype)
+            start_en_list.append(st_v)
+            end_en_list.append(ef_v)
+            start_sum = st_v if start_sum is None else start_sum + st_v
+            end_sum = ef_v if end_sum is None else end_sum + ef_v
+
+        after = jnp.stack(states_list, axis=1)  # [B, self.n_defs, self.L]
+        st_dtype = self._val_dtype if self.model.s_pad <= 255 else jnp.int32
+        after = after.astype(st_dtype)
+        first = self._model_arrays["first_states"][None, :, None].astype(st_dtype)
+        raw = jnp.concatenate(
+            [jnp.broadcast_to(first, (B, self.n_defs, 1)), after], axis=2
+        )
+        posL1 = jnp.arange(self.L + 1, dtype=jnp.int32)
+        in_range = posL1[None, None, :] <= lengths[:, None, None]
+        dummy = self._model_arrays["dummy_states"][None, :, None].astype(st_dtype)
+        states = jnp.where(in_range, raw, dummy)
+
+        final = jnp.take_along_axis(
+            raw, lengths[:, None, None].repeat(self.n_defs, 1).astype(jnp.int32),
+            axis=2,
+        )[:, :, 0].astype(jnp.int32)
+        accepted = self._model_arrays["accept_mask"][
+            jnp.arange(self.n_defs)[None, :], final
+        ]
+        has_dead = final == self._model_arrays["dead_states"][None, :]
+
+        zcol = jnp.zeros((B, 1), start_sum.dtype)
+        is_start_sum = jnp.concatenate([start_sum, zcol], axis=1)
+        is_end_sum = jnp.concatenate([zcol, end_sum], axis=1)
+
+        out = dict(
+            all_enable_flags=enable,
+            all_characters=chars_v,
+            all_substr_ids=all_ids,
+            masked_characters=masked_chars,
+            states=states,
+            substr_ids_per_def=jnp.stack(ids_list, axis=1),
+            start_enable=jnp.stack(start_en_list, axis=1),
+            end_enable=jnp.stack(end_en_list, axis=1),
+            is_start_sum=is_start_sum,
+            is_end_sum=is_end_sum,
+            substr_id_sum=substr_id_sum,
+            fwd_mask=fwd,
+            bwd_mask=bwd,
+            mask=mask,
+            accepted=accepted,
+            has_dead=has_dead,
+            match_ok=accepted.all(axis=1) & (~has_dead.any(axis=1)),
+        )
+        if B_orig != B:
+            out = {k: v[:B_orig] for k, v in out.items()}
+        return out
 
     def __call__(self, chars, lengths):
         chars = jnp.asarray(chars, jnp.uint8)

@@ -14,8 +14,13 @@ Prints one JSON line per stage:
     post        tag + id-sum + both mask FSMs + byte assembly (Pallas)
     full        the whole witness pipeline (compact columns)
 
-The gap between `full` and the stage sum is the XLA decode/tail (field
-transpose, masked chars, states assembly) plus per-pass overheads.
+The stage rows isolate the PLAIN-SIGNATURE kernels (an en_pack=False,
+qpack=False matcher), so they are comparable across rounds but are NOT
+components of the shipped default pipeline (which fuses raw_quads and
+the enable plane into the pack kernel via qpack+en_pack); `full` times
+the shipped default.  The gap between `full` and the kernel stages is
+the XLA decode/tail (field transpose, masked chars, states assembly)
+plus per-pass overheads.
 """
 
 import argparse

@@ -42,10 +42,17 @@ def extract_runs(
     # witness pipeline's decode tail; without it XLA fuses that decode
     # into EACH of the max_runs x 3 masked reductions below, recomputing
     # the expensive transpose per reduction (measured 54 ms vs ~7 ms for
-    # the whole serving pipeline at B=32k on the v5e).
-    all_substr_ids, masked_characters = jax.lax.optimization_barrier(
-        (jnp.asarray(all_substr_ids), jnp.asarray(masked_characters))
-    )
+    # the whole serving pipeline at B=32k on the v5e).  masked_characters
+    # joins the barrier only when byte payloads are requested — otherwise
+    # it stays untouched (and dead-code-eliminated if unused upstream).
+    if max_len:
+        all_substr_ids, masked_characters = jax.lax.optimization_barrier(
+            (jnp.asarray(all_substr_ids), jnp.asarray(masked_characters))
+        )
+    else:
+        all_substr_ids = jax.lax.optimization_barrier(
+            jnp.asarray(all_substr_ids)
+        )
     a = all_substr_ids
     B, L = a.shape
     zcol = jnp.zeros((B, 1), a.dtype)

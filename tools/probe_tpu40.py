@@ -24,7 +24,7 @@ from halo2_regex_tpu.utils.profiling import benchmark_chained
 
 B, L = 32768, 1024
 model = zoo.email_headers_model(max_chars_size=L, headers=("from",))
-m = BitplaneMatcher(model, columns="witness")
+m = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
 
 rng = np.random.default_rng(0)
 chars = rng.integers(32, 127, size=(B, L), dtype=np.uint8)

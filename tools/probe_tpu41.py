@@ -88,7 +88,7 @@ NWS = B // 32 // 128
 t0 = time.time()
 for name, model in MODELS:
     try:
-        m = BitplaneMatcher(model, columns="witness")
+        m = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
     except Exception as e:
         print(f"{name}: matcher FAIL {type(e).__name__}: {str(e)[:100]}")
         continue

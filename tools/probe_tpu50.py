@@ -28,7 +28,7 @@ from halo2_regex_tpu.utils.profiling import benchmark_chained
 
 B, L = 32768, 1024
 model = zoo.email_headers_model(max_chars_size=L, headers=("from",))
-m = BitplaneMatcher(model, columns="witness")
+m = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
 L_pad = m.L_pad
 NWS = B // 32 // 128
 

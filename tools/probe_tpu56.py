@@ -132,7 +132,8 @@ chars_j = jnp.asarray(chars)
 lengths_j = jnp.asarray(lengths)
 
 matchers = {
-    U: BitplaneMatcher(model, columns="witness", unroll=U) for U in (1, 2, 4, 8)
+    U: BitplaneMatcher(model, columns="witness", unroll=U, en_pack=False,
+       qpack=False) for U in (1, 2, 4, 8)
 }
 m1 = matchers[1]
 quads = jax.jit(lambda c: raw_quads(c, m1.L_pad).reshape(m1.L_pad, 8, NWS, 128))

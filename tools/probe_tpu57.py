@@ -248,7 +248,7 @@ def chain(fn, getdep):
 
 # the DFA scan kernel at the same shape (the thing marker streams would
 # replace): fused scan on the packed class planes
-mscan = BitplaneMatcher(model, columns="witness")
+mscan = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
 R = jax.jit(lambda c: raw_quads(c, mscan.L_pad).reshape(mscan.L_pad, 8, NWS, 128))(chars_j)
 bits = mscan._make_pack(NWS)(R)
 bestB = {}
@@ -290,7 +290,7 @@ enn = np.concatenate([enb[:, 1:], np.zeros((Bs, 1), bool)], axis=1)
 end_s = pack_bool(jnp.asarray((enb & ~enn).astype(np.uint8)), L)
 stack_s = jnp.stack(list(planes_s) + [en_s, end_s])
 stack3_s = stack_s.reshape(10, L, Bs // 32)
-ms = BitplaneMatcher(model, columns="witness", nws_tile=1)
+ms = BitplaneMatcher(model, columns="witness", nws_tile=1, en_pack=False, qpack=False)
 Rs = jax.jit(lambda c: raw_quads(c, ms.L_pad).reshape(ms.L_pad, 8, NWS_s, 128))(jnp.asarray(chars_s))
 bits_s = ms._make_pack(NWS_s)(Rs)
 mkk_s = make_marker_kernel(NWS_s, NT=1) if marker_pallas_ok else None

@@ -134,7 +134,7 @@ def measure(name, mk, args, traffic_bytes, ks, rounds=ROUNDS):
 
 # ---------------------------------------------------------- A: stages
 print("== A: per-stage kernel budget (high-K slopes)", flush=True)
-m = BitplaneMatcher(model, columns="witness")
+m = BitplaneMatcher(model, columns="witness", en_pack=False, qpack=False)
 quads = jax.jit(lambda c: raw_quads(c, m.L_pad).reshape(m.L_pad, 8, NWS, 128))
 R = quads(chars_j)
 bits = m._make_pack(NWS)(R)
@@ -277,7 +277,7 @@ enn = np.concatenate([enb[:, 1:], np.zeros((Bs, 1), bool)], axis=1)
 end_s = pack_bool(jnp.asarray((enb & ~enn).astype(np.uint8)), L)
 stack_s = jnp.stack(list(planes_s) + [en_s, end_s])
 stack3_s = stack_s.reshape(10, L, Bs // 32)
-ms_small = BitplaneMatcher(model, columns="witness", nws_tile=1)
+ms_small = BitplaneMatcher(model, columns="witness", nws_tile=1, en_pack=False, qpack=False)
 Rs = jax.jit(
     lambda c: raw_quads(c, ms_small.L_pad).reshape(ms_small.L_pad, 8, NWS_s, 128)
 )(jnp.asarray(chars_s))

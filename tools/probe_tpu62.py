@@ -127,7 +127,7 @@ try:
     from halo2_regex_tpu.ops.bitplane import raw_quads
 
     NWS = B // 32 // 128
-    m1 = BitplaneMatcher(smodel, columns="witness", unroll=1)
+    m1 = BitplaneMatcher(smodel, columns="witness", unroll=1, en_pack=False, qpack=False)
     R = jax.jit(lambda c: raw_quads(c, m1.L_pad).reshape(m1.L_pad, 8, NWS, 128))(sc)
     bits = m1._make_pack(NWS)(R)
 

@@ -183,7 +183,7 @@ for name, kw in [
 # ------------------------------------------- C: kdecode kernel isolation
 print("== C: kdecode decode kernel isolated (diagnosis)", flush=True)
 try:
-    mk_dec = BitplaneMatcher(model, columns="witness", emit="kdecode")
+    mk_dec = BitplaneMatcher(model, columns="witness", emit="kdecode", en_pack=False, qpack=False)
     NWS = B // 32 // 128
     quads = jax.jit(
         lambda c: raw_quads(c, mk_dec.L_pad).reshape(mk_dec.L_pad, 8, NWS, 128)

@@ -21,9 +21,10 @@ Measurement integrity (round 3):
     mask-only pipeline.)
   - lengths are perturbed per iteration so length-derived work (the enable
     plane) cannot be loop-hoisted/CSE'd out of the slope.
-  - the headline `value` is the MEDIAN of the spread samples; the best-of
-    is reported alongside with the full sample list (relay tenancy swings
-    2-3x run-to-run; median is the honest mid-band figure).
+  - the headline `value` is the MEDIAN of the spread samples; the
+    interquartile noise band and full sample list ride alongside (relay
+    tenancy swings 2-3x run-to-run; a lucky single sample is tenancy
+    luck, not sustained throughput, so no "best" field is emitted).
 """
 
 import json
@@ -276,7 +277,11 @@ def main() -> int:
         if gap and rep < n_reps - 1 and time.time() - t_start < budget * 0.75:
             time.sleep(gap)
     sec_med = float(np.median(secs)) if secs else 1e-9
-    sec_best = min(secs) if secs else 1e-9
+    # Relay tenancy swings samples 2-3x; the interquartile range is the
+    # noise band.  No "best" field: a single lucky sample is tenancy
+    # luck, not sustained throughput (VERDICT r4 Weak #4).
+    sec_q1 = float(np.percentile(secs, 25)) if secs else 1e-9
+    sec_q3 = float(np.percentile(secs, 75)) if secs else 1e-9
     value = B * L / sec_med
 
     # Honest witness-traffic metric: bytes actually emitted across the
@@ -359,8 +364,9 @@ def main() -> int:
         "unit": "bytes/s",
         "vs_baseline": (value / target) if on_tpu else None,
         "estimator": "k_slope_materialized_median",
-        "value_best": B * L / sec_best,
-        "vs_baseline_best": ((B * L / sec_best) / target) if on_tpu else None,
+        # noise band: per-batch time quartiles (ms).  Tenancy noise on the
+        # relayed chip, not a throughput claim — the median is the number.
+        "noise_band_ms": [round(sec_q1 * 1e3, 3), round(sec_q3 * 1e3, 3)],
         "n_samples": len(secs),
         "samples_ms": [round(s * 1e3, 3) for s in secs],
         "backend": backend_name,

@@ -30,8 +30,15 @@ sys.setrecursionlimit(100_000)
 import numpy as np
 
 
+_OUT = None  # set by --out: tee every result line to a jsonl artifact
+
+
 def _report(name, **kw):
-    print(json.dumps({"benchmark": name, **kw}), flush=True)
+    line = json.dumps({"benchmark": name, **kw})
+    print(line, flush=True)
+    if _OUT is not None:
+        _OUT.write(line + "\n")
+        _OUT.flush()
 
 
 def _best_matcher(model, batch=0):
@@ -186,7 +193,10 @@ def bench2(quick):
     _report(
         "config2_email_corpus", backend=backend, batch=B,
         bytes_per_sec=B * 1024 / dt, estimator=est,
-        bytes_per_sec_best=B * 1024 / min(samples),
+        noise_band_ms=[
+            round(float(np.percentile(samples, 25)) * 1e3, 3),
+            round(float(np.percentile(samples, 75)) * 1e3, 3),
+        ],
         n_samples=len(samples),
         samples_ms=[round(x * 1e3, 3) for x in samples],
         witness_rows_per_sec=B * 1024 / dt,
@@ -226,23 +236,11 @@ def bench2(quick):
             from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
             from halo2_regex_tpu.ops.extract import extract_runs
 
-            mf = BitplaneMatcher(model, columns="full")
-
-            class _ExtractServing:
-                @staticmethod
-                def _run(c, ln):
-                    out = mf.core(c, ln)
-                    rec = extract_runs(
-                        out["all_substr_ids"],
-                        out["masked_characters"],
-                        max_runs=4,
-                        max_len=32,
-                    )
-                    rec["match_ok"] = out["match_ok"]
-                    return rec
-
             dte, este = _throughput(
-                _ExtractServing, chars, lengths, iters=3 if quick else 5,
+                _extract_serving(
+                    BitplaneMatcher(model, columns="full"), extract_runs
+                ),
+                chars, lengths, iters=3 if quick else 5,
                 with_estimator=True,
             )
             _report(
@@ -255,6 +253,60 @@ def bench2(quick):
                 "config2_extract_serving",
                 error=f"{type(e).__name__}: {str(e)[:160]}",
             )
+
+    # Latency regime (round 5, VERDICT r4 #8): the B=4096 serving shapes.
+    # Marker streams won 3x here but cannot emit witness columns; the
+    # documented low-latency modes are match-only filtering and the
+    # extract-serving path (witness scan + on-device compact runs).
+    if backend == "bitplane" and not quick and B != 4096:
+        from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
+        from halo2_regex_tpu.ops.extract import extract_runs
+
+        c4, l4 = chars[:4096], lengths[:4096]
+        for name, mk_matcher in (
+            (
+                "config2_latency_b4096_match_only",
+                lambda: BitplaneMatcher(model, columns="match"),
+            ),
+            (
+                "config2_latency_b4096_extract_serving",
+                lambda: _extract_serving(
+                    BitplaneMatcher(model, columns="full"), extract_runs
+                ),
+            ),
+        ):
+            try:
+                m4 = mk_matcher()
+                dt4, est4 = _throughput(
+                    m4, c4, l4, iters=5, with_estimator=True
+                )
+                _report(
+                    name, backend="bitplane", batch=4096,
+                    latency_ms=round(dt4 * 1e3, 4),
+                    bytes_per_sec=4096 * 1024 / dt4, estimator=est4,
+                )
+            except Exception as e:
+                _report(name, error=f"{type(e).__name__}: {str(e)[:160]}")
+
+
+def _extract_serving(mf, extract_runs, max_runs=4, max_len=32):
+    """Scan + device-side compact run extraction: only the
+    (offset, len, id, bytes, match_ok) records leave the chip."""
+
+    class _ExtractServing:
+        @staticmethod
+        def _run(c, ln):
+            out = mf.core(c, ln)
+            rec = extract_runs(
+                out["all_substr_ids"],
+                out["masked_characters"],
+                max_runs=max_runs,
+                max_len=max_len,
+            )
+            rec["match_ok"] = out["match_ok"]
+            return rec
+
+    return _ExtractServing
 
 
 def bench3(quick):
@@ -495,7 +547,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=int, nargs="*", default=[0, 1, 2, 3, 4])
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--out", type=str, default=None,
+                    help="tee result JSON lines to this .jsonl artifact "
+                         "(benchmarks/RESULTS_r{N}.jsonl each round)")
     args = ap.parse_args()
+    if args.out:
+        global _OUT
+        _OUT = open(args.out, "a")
+        _OUT.write(json.dumps({
+            "benchmark": "_meta",
+            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "configs": args.configs,
+            "quick": bool(args.quick),
+        }) + "\n")
     # Honor an explicit cpu request before the backend initializes —
     # TPU-attached sitecustomize hooks otherwise force their platform.
     if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):

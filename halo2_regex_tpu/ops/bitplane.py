@@ -684,6 +684,21 @@ class BitplaneMatcher:
         self._bytes_mode = self._emit in ("bytes", "kdecode")
         self._kdecode_mode = self._emit == "kdecode"
         self._direct_mode = self._emit == "direct"
+        # Pre-dummied states (round 5): in bytes/direct/kdecode emission
+        # the post kernel splices the dummy value into the state planes
+        # where enable is off ((log & en) | (dummy_j & ~en) — two vops
+        # per plane in the packed domain), so the XLA finish skips the
+        # [B, n_defs, L+1] in_range where-pass over the states column
+        # (~0.22 ms at B=32k x 1KB, tools/probe_tpu65.py s5c vs s5b).
+        # Requires each def's dummy value to fit its sb state planes
+        # (dummy = largest+1 <= dead, and dead is in the live set, so
+        # this holds for every compiled model; gated defensively).
+        self._predummy = (
+            self._bytes_mode or self._direct_mode
+        ) and all(
+            int(model.dummy_states[d]).bit_length() <= self.circuits[d].sb
+            for d in range(n_defs)
+        )
 
         self._l4 = L_pad // 4 if L_pad % 4 == 0 else 0
 
@@ -1235,9 +1250,21 @@ class BitplaneMatcher:
                     "masked_idsum": [p & mask for p in ids_sum],
                 }
                 for d in range(self.n_defs):
-                    avail[f"states{d}"] = [
-                        log_ref[0, soff[d] + j] for j in range(sbs[d])
-                    ]
+                    if self._predummy:
+                        # dummy spliced in where enable is off, so the
+                        # emitted states column is final (no XLA where)
+                        dummy = int(self.model.dummy_states[d])
+                        planes = []
+                        for j in range(sbs[d]):
+                            p = log_ref[0, soff[d] + j] & en
+                            if (dummy >> j) & 1:
+                                p = p | ~en
+                            planes.append(p)
+                        avail[f"states{d}"] = planes
+                    else:
+                        avail[f"states{d}"] = [
+                            log_ref[0, soff[d] + j] for j in range(sbs[d])
+                        ]
             if self._direct_mode:
                 # one l4-packed [B, self.L]-major int32 array per field:
                 # byte-lane words -> per-m (LANE*4, self._l4) blocks whose
@@ -1741,12 +1768,18 @@ class BitplaneMatcher:
         raw = jnp.concatenate(
             [jnp.broadcast_to(first, (B, self.n_defs, 1)), after], axis=2
         )
-        posL1 = jnp.arange(self.L + 1, dtype=jnp.int32)
-        in_range = posL1[None, None, :] <= lengths[:, None, None]
-        dummy = self._model_arrays["dummy_states"][None, :, None].astype(
-            jnp.uint8
-        )
-        states = jnp.where(in_range, raw, dummy)
+        if self._predummy:
+            # post kernel already spliced dummy where enable is off
+            # (column l+1 kept iff l+1 <= len iff en[l]; column 0 is the
+            # first state, kept unconditionally — same as the where)
+            states = raw
+        else:
+            posL1 = jnp.arange(self.L + 1, dtype=jnp.int32)
+            in_range = posL1[None, None, :] <= lengths[:, None, None]
+            dummy = self._model_arrays["dummy_states"][None, :, None].astype(
+                jnp.uint8
+            )
+            states = jnp.where(in_range, raw, dummy)
         if fb is not None:
             # post kernel emitted the boundary log planes: no
             # gather, and match_ok is independent of the decode

@@ -60,6 +60,7 @@ def _load() -> Optional[ctypes.CDLL]:
         u8p, i64, i64, i32, u8p, i32p, ctypes.POINTER(i64), i32,
     ]
     lib.h2r_pack_lines.restype = i64
+    lib.h2r_tile_corpus.argtypes = [u8p, i64, i64, i64, i64, i32p]
     lib.h2r_num_threads.restype = ctypes.c_int
     _LIB = lib
     return lib
@@ -178,6 +179,22 @@ def pack_lines(
         ctypes.byref(trunc), nl,
     )
     return chars, lengths, int(trunc.value)
+
+
+def tile_corpus(chars: np.ndarray, L_pad: int) -> np.ndarray:
+    """Multithreaded host packer for the tiled input contract
+    (ops/bitplane.py ``tile_corpus``): [B, L] uint8 -> [NWS, 8, L_pad,
+    128] int32 quad words.  Pads B up to a multiple of 4096 and L up to
+    L_pad (tail strings/positions read as zero bytes)."""
+    lib = _load()
+    assert lib is not None
+    chars = np.ascontiguousarray(chars, np.uint8)
+    B, L = chars.shape
+    assert L <= L_pad
+    nws = -(-B // 4096)
+    out = np.empty((nws, 8, L_pad, 128), np.int32)
+    lib.h2r_tile_corpus(_u8p(chars), B, L, L_pad, nws, _i32p(out))
+    return out
 
 
 def match_substrs_native(model, chars: np.ndarray, lengths: np.ndarray):

@@ -116,6 +116,55 @@ def raw_quads(chars: jnp.ndarray, L_pad: int) -> jnp.ndarray:
     return _bytes_to_words(x).reshape(L_pad, 8, B // 32)
 
 
+def tile_corpus(chars: "np.ndarray", L_pad: int) -> "np.ndarray":
+    """Host-side packer for ``input_layout="tiled"``: [B, L] uint8 chars
+    -> [NWS, 8, L_pad, LANE] int32 quad words, the raw_quads tiling with
+    the word-group (NWS) axis leading so every device read is
+    contiguous.  T[nws, m, l, lane] packs bytes s=0..3 of strings
+    g = 4*((nws*LANE+lane) + NW*m) + s at position l (module header).
+    Pads B up to a multiple of 32*LANE (trailing strings read as empty —
+    pass the unpadded lengths and the matcher slices outputs back) and
+    L up to L_pad with zeros.  Corpus loaders should call this during
+    collation, where the permuted copy overlaps file IO.  Uses the
+    multithreaded C++ packer (native/scan.cpp h2r_tile_corpus) when the
+    toolchain is available; numpy fallback otherwise."""
+    B, L = chars.shape
+    assert L <= L_pad
+    try:
+        from .. import native
+
+        if native.available():
+            return native.tile_corpus(np.ascontiguousarray(chars), L_pad)
+    except Exception:
+        pass
+    tile = 32 * LANE
+    Bp = -(-B // tile) * tile
+    x = np.zeros((L_pad, Bp), np.uint8)
+    x[:L, :B] = chars.T
+    words = x.reshape(L_pad, Bp // 4, 4).view(np.int32)[..., 0]
+    return np.ascontiguousarray(
+        words.reshape(L_pad, 8, Bp // 32 // LANE, LANE)
+        .transpose(2, 1, 0, 3)
+    )
+
+
+def tile_corpus_jax(chars: jnp.ndarray, L_pad: int) -> jnp.ndarray:
+    """Device-side equivalent of ``tile_corpus`` (an XLA transpose — use
+    only where the host cannot pre-tile, e.g. the ScanJob device-expand
+    path; it reintroduces the transpose cost tiled mode exists to
+    avoid).  Pads B up to a multiple of 32*LANE like tile_corpus."""
+    B = chars.shape[0]
+    tile = 32 * LANE
+    if B % tile != 0:
+        chars = jnp.pad(chars, ((0, tile - B % tile), (0, 0)))
+        B = chars.shape[0]
+    return (
+        raw_quads(chars, L_pad)
+        .reshape(L_pad, 8, B // 32 // LANE, LANE)
+        .transpose(2, 1, 0, 3)
+    )
+
+
 def pack_bytes(chars: jnp.ndarray, L_pad: int) -> List[jnp.ndarray]:
     """[B, L] uint8 -> list of 8 byte-bit planes [L_pad, B//32] int32.
 
@@ -467,6 +516,17 @@ class BitplaneMatcher:
         #   XLA transpose round trip; requires L == L_pad).
         emit: Optional[str] = None,  # None = env H2R_EMIT (default
         #   "bytes"): planes/bytes/direct/kdecode field emission mode.
+        input_layout: str = "bl",  # "bl": __call__ takes [B, L] uint8
+        #   chars (the default contract).  "tiled": __call__ takes the
+        #   host-pretiled [NWS, 8, L_pad, LANE] int32 quad words
+        #   (``tile_corpus``) — the pack kernel then reads fully
+        #   contiguous 64 KB blocks instead of the inherently strided
+        #   [B, L] u8 columns (docs/ROADMAP.md item 2), and the post
+        #   kernel assembles masked_characters from the same words, so
+        #   no string-major chars array exists anywhere in the graph.
+        #   Supported with columns="witness" (bytes emission) and
+        #   columns="match"; corpus-controlled callers (ScanJob/CLI)
+        #   pack during collation, ad-hoc callers keep "bl".
     ):
         self.model = model
         self.interpret = interpret
@@ -476,6 +536,23 @@ class BitplaneMatcher:
                 f"columns={columns!r}: expected full/witness/match"
             )
         self.columns = columns
+        if input_layout not in ("bl", "tiled"):
+            raise ValueError(
+                f"input_layout={input_layout!r}: expected bl/tiled"
+            )
+        self.input_layout = input_layout
+        self._tiled = input_layout == "tiled"
+        if self._tiled and columns == "full":
+            raise ValueError(
+                "input_layout='tiled' supports columns='witness'/'match' "
+                "only: the full RegexResult set emits all_characters, "
+                "which needs the string-major [B, L] chars"
+            )
+        if self._tiled and columns == "witness" and post != "pallas":
+            raise ValueError(
+                "input_layout='tiled' witness emission requires the "
+                "Pallas post kernel (post='pallas')"
+            )
         n_defs = self.n_defs = model.n_defs
         # All H2R_* knobs resolved + validated in one place (ops/knobs.py);
         # constructor args override env, env overrides defaults.
@@ -653,6 +730,12 @@ class BitplaneMatcher:
             ]
             for d in range(n_defs):
                 fields.append((f"states{d}", self.circuits[d].sb))
+            if self._tiled:
+                # tiled input: the post kernel reads the quad words and
+                # assembles mask & chars in the packed domain — masked
+                # chars ride the same byte-group emission instead of the
+                # XLA mask*chars pass (which would need [B, L] chars).
+                fields.append(("masked_characters_pre", 8))
             if emit != "planes" and all(nb <= 8 for _, nb in fields):
                 if emit == "direct" and L_pad % 4 == 0:
                     self._emit = "direct"
@@ -679,6 +762,11 @@ class BitplaneMatcher:
                         groups.append(cur)
                     self._wgroups = groups
                     self._p_total = P_total = len(groups) * 8
+        if self._tiled and columns == "witness" and self._emit != "bytes":
+            raise ValueError(
+                f"input_layout='tiled' witness emission requires "
+                f"emit='bytes' (resolved emit={self._emit!r})"
+            )
         # bytes_mode gates the byte-group post emission, shared by "bytes"
         # (XLA decode) and "kdecode" (Pallas decode kernel).
         self._bytes_mode = self._emit in ("bytes", "kdecode")
@@ -1152,6 +1240,101 @@ class BitplaneMatcher:
             ),
         )
 
+    def _make_tpack(self, NWS: int):
+        """Pack kernel for the pretiled input contract (input_layout=
+        "tiled"): the host hands over [NWS, 8m, L_pad, LANE] int32 quad
+        words (``tile_corpus``), so every block read here is a fully
+        contiguous (L-chunk, LANE) slab — the [B, L] u8 read that caps
+        qpack ~3x off its floor is inherently strided (docs/ROADMAP.md
+        item 2).  Same outputs as qpack with en_pack on: the bits_stack
+        (byte-bit or class planes) plus the enable plane, which tiled
+        mode always computes in-kernel."""
+        NT = min(self.nws_tile, NWS)
+        while NWS % NT != 0:
+            NT -= 1
+        KOUT = self._kp if self.class_stage else 8
+
+        def kern(t_ref, len_ref, out_ref, en_ref):
+            mask = jnp.int32(_QUAD_MASK)
+            planes = [None] * 8
+            for m in range(8):
+                Tm = t_ref[:, m]  # [NT, self._plc, LANE] quad words
+                for j in range(8):
+                    v = ((Tm >> j) & mask) << m
+                    planes[j] = v if planes[j] is None else planes[j] | v
+
+            def shaped(p):  # [NT, plc, LANE] -> out block (plc, NT, LANE)
+                return jnp.swapaxes(p, 0, 1)
+
+            if self.class_stage:
+                env = {f"byte_bit{j}": planes[j] for j in range(8)}
+                for d, circ in enumerate(self.circuits):
+                    out = circ.class_prog.run(env)
+                    for c, name in enumerate(circ.class_plane_names):
+                        out_ref[:, self._cls_off[d] + c] = shaped(out[name])
+            else:
+                for j in range(8):
+                    out_ref[:, j] = shaped(planes[j])
+            l = pl.program_id(1)
+            pos = l * self._plc + jax.lax.broadcasted_iota(
+                jnp.int32, (NT, self._plc, LANE), 1
+            )
+            lv = len_ref[...]  # [NT, LANE, 32]
+            acc = None
+            for beta in range(32):
+                # static slice + no-op reshape, not int indexing (>2D
+                # gather is rejected by this Mosaic — see _make_pack)
+                lvb = jax.lax.slice_in_dim(
+                    lv, beta, beta + 1, axis=2
+                ).reshape(NT, 1, LANE)
+                bit = (pos < lvb).astype(jnp.int32) << beta
+                acc = bit if acc is None else acc | bit
+            en_ref[...] = acc
+
+        in_specs = [
+            pl.BlockSpec(
+                (NT, 8, self._plc, LANE),
+                lambda b, l: (b, 0, l, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NT, LANE, 32),
+                lambda b, l: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_specs = [
+            pl.BlockSpec(
+                (self._plc, KOUT, NT, LANE),
+                lambda b, l: (l, 0, b, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (NT, self._plc, LANE),
+                lambda b, l: (b, l, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct(
+                (self.L_pad, KOUT, NWS, LANE), jnp.int32
+            ),
+            jax.ShapeDtypeStruct((NWS, self.L_pad, LANE), jnp.int32),
+        ]
+        return pl.pallas_call(
+            kern,
+            grid=(NWS // NT, self.L_pad // self._plc),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=self.interpret,
+            compiler_params=None
+            if self.interpret
+            else pltpu.CompilerParams(
+                vmem_limit_bytes=self._vmem_limit
+            ),
+        )
+
     def _make_post(self, NWS: int):
         # All arrays lead with the word-group (NWS) axis so blocks end
         # in (self.L_pad, LANE) — Mosaic requires the last two block dims be
@@ -1163,9 +1346,13 @@ class BitplaneMatcher:
         def kern(*refs):
             log_ref = refs[0]  # fused [*, self._sb_sum, self.L_pad, LANE] stack
             en_ref = refs[1]
-            out_ref = refs[2] if not self._direct_mode else None
-            fb_ref = refs[3] if self._bytes_mode else None
-            out_refs = refs[2:]
+            # tiled input inserts the quad-word block after the inputs
+            # (tiled implies bytes emission, so out/fb always follow)
+            t_ref = refs[2] if self._tiled else None
+            rest = refs[3:] if self._tiled else refs[2:]
+            out_ref = rest[0] if not self._direct_mode else None
+            fb_ref = rest[1] if self._bytes_mode else None
+            out_refs = rest
             en = en_ref[0, 0]  # [self.L_pad, LANE]
             zrow = jnp.zeros((1, LANE), jnp.int32)
 
@@ -1265,6 +1452,22 @@ class BitplaneMatcher:
                         avail[f"states{d}"] = [
                             log_ref[0, soff[d] + j] for j in range(sbs[d])
                         ]
+                if self._tiled:
+                    # masked chars in the packed domain: extract the 8
+                    # byte-bit planes from this word group's quad words
+                    # (same quad-mask OR as the pack kernels) and AND
+                    # with the FSM mask — replaces the XLA mask*chars
+                    # pass, which would need string-major [B, L] chars.
+                    T = t_ref[0]  # [8m, self.L_pad, LANE] int32
+                    qm = jnp.int32(_QUAD_MASK)
+                    mcp = []
+                    for j in range(8):
+                        acc = None
+                        for m in range(8):
+                            v = ((T[m] >> j) & qm) << m
+                            acc = v if acc is None else acc | v
+                        mcp.append(acc & mask)
+                    avail["masked_characters_pre"] = mcp
             if self._direct_mode:
                 # one l4-packed [B, self.L]-major int32 array per field:
                 # byte-lane words -> per-m (LANE*4, self._l4) blocks whose
@@ -1341,6 +1544,14 @@ class BitplaneMatcher:
                 memory_space=pltpu.VMEM,
             ),
         ]
+        if self._tiled:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, 8, self.L_pad, LANE),
+                    lambda b: (b, 0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
         if self._direct_mode:
             out_specs = [
                 pl.BlockSpec(
@@ -1536,6 +1747,8 @@ class BitplaneMatcher:
         return jnp.stack(cols, axis=1)
 
     def core(self, chars, lengths):
+        if self._tiled:
+            return self._core_tiled(chars, lengths)
         B, Lin = chars.shape
         assert Lin == self.L
         # whole packed words need B % (32*LANE) == 0; pad in-graph and
@@ -1615,6 +1828,47 @@ class BitplaneMatcher:
         return self._finish_full(
             chars, lengths, B, B_orig, enable_bl, planes_of, logs_per_def
         )
+    def _core_tiled(self, tiled, lengths):
+        """Pipeline entry for the pretiled input contract: ``tiled`` is
+        the [NWS, 8, L_pad, LANE] int32 quad-word buffer from
+        ``tile_corpus`` (B = NWS*32*LANE strings); ``lengths`` may be
+        shorter than B (host batch padding is part of the contract —
+        trailing strings beyond len(lengths) are treated as empty and
+        sliced off the outputs)."""
+        NWS, _m8, Lp, _lane = tiled.shape
+        assert _m8 == 8 and _lane == LANE and Lp == self.L_pad, (
+            f"tiled input {tiled.shape}: expected "
+            f"[NWS, 8, {self.L_pad}, {LANE}] (see tile_corpus)"
+        )
+        B = NWS * 32 * LANE
+        B_orig = lengths.shape[0]
+        if B_orig != B:
+            assert B_orig < B, (
+                f"lengths ({B_orig}) exceed the tiled batch ({B})"
+            )
+            lengths = jnp.pad(lengths, (0, B - B_orig))
+        NW = B // 32
+        len_wb = (
+            lengths.reshape(8, NW, 4)
+            .transpose(1, 2, 0)
+            .reshape(NWS, LANE, 32)
+        )
+        bits_stack, en_plane = self._make_tpack(NWS)(tiled, len_wb)
+        logs_stack = self._make_scan_fused(NWS)(bits_stack)
+        logs_per_def = [
+            logs_stack[:, self._sb_off[d] : self._sb_off[d] + c.sb]
+            for d, c in enumerate(self.circuits)
+        ]
+        if self.columns == "match":
+            return self._finish_match(logs_stack, en_plane, B, B_orig)
+        vals, planes_of, fb = self._post_decode(
+            None, B, NWS, logs_stack, logs_per_def, en_plane, tiled=tiled
+        )
+        return self._finish_witness(
+            None, lengths, B, B_orig, vals, planes_of, fb,
+            logs_per_def, en_plane,
+        )
+
     def _finish_match(self, logs_stack, en_plane, B, B_orig):
         """columns="match" serving: reduce each def's boundary state
         straight to the [B]-sized verdicts (no witness columns)."""
@@ -1636,7 +1890,7 @@ class BitplaneMatcher:
         return out
 
     def _post_decode(self, chars, B, NWS, logs_stack, logs_per_def,
-                     en_plane):
+                     en_plane, tiled=None):
         """Stages 3+4: tag + id-sum + mask FSMs, then the per-mode
         field decode.  direct/kdecode/bytes modes fill ``vals`` (final
         [B, L] columns); plane modes return a ``planes_of`` accessor;
@@ -1686,7 +1940,10 @@ class BitplaneMatcher:
             # and transposes to string-major [B, self.L] order (bit beta =
             # 8s+b of word w is string 4*(w + NW*b) + s, so flat
             # string order is dims (b, nws, lane, s)).
-            g4, fb = self._make_post(NWS)(logs_stack, en_plane[:, None])
+            post_in = (logs_stack, en_plane[:, None]) + (
+                (tiled,) if self._tiled else ()
+            )
+            g4, fb = self._make_post(NWS)(*post_in)
             G = len(self._wgroups)
             u8 = jax.lax.bitcast_convert_type(
                 g4.reshape(NWS, G, 8, self.L_pad, LANE)[:, :, :, :self.L],
@@ -1758,7 +2015,12 @@ class BitplaneMatcher:
         flags = vals["flags"]
         mask = flags & 1
         masked_chars_pre = vals.get("masked_characters_pre")
-        chars_v = chars.astype(jnp.uint8)
+        if chars is None and masked_chars_pre is None:
+            raise AssertionError(
+                "tiled witness emission must decode masked chars from "
+                "the post kernel (no string-major chars exist)"
+            )
+        chars_v = None if chars is None else chars.astype(jnp.uint8)
         after = jnp.stack(
             [vals[f"states{d}"] for d in range(self.n_defs)], axis=1
         )
@@ -1914,7 +2176,9 @@ class BitplaneMatcher:
         return out
 
     def __call__(self, chars, lengths):
-        chars = jnp.asarray(chars, jnp.uint8)
+        chars = jnp.asarray(
+            chars, jnp.int32 if self._tiled else jnp.uint8
+        )
         lengths = jnp.asarray(lengths, jnp.int32)
         out = self._run(chars, lengths)
         if self.columns in ("witness", "match"):
@@ -1936,5 +2200,9 @@ class BitplaneMatcher:
         L = self.model.max_chars_size
         buf = np.zeros((1, L), np.uint8)
         buf[0, : len(characters)] = bytearray(characters)
+        if self._tiled:
+            buf = tile_corpus(buf, self.L_pad)
         res = self(buf, np.array([len(characters)], np.int32))
+        if isinstance(res, dict):
+            return {k: np.asarray(v)[0] for k, v in res.items()}
         return res.map(lambda a: np.asarray(a)[0])

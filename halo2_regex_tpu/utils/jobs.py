@@ -167,11 +167,22 @@ class ScanJob:
             # a chunk's batches have all been consumed, so prefetched but
             # unprocessed chunks are simply re-read on restart.
             chunks = _prefetched(chunks, self.prefetch)
+        # input_layout="tiled" matchers take the pretiled quad-word
+        # buffer (ops.bitplane.tile_corpus): pack on the host during
+        # collation — this is the corpus-controlled caller the tiled
+        # contract exists for (docs/ROADMAP.md item 2).
+        tiled = getattr(self.matcher, "input_layout", "bl") == "tiled"
         for file_idx, end_offset, chars, lengths, trunc in chunks:
             state.n_truncated += trunc
             for bchars, blens, n_valid in batch_iterator(
                 chars, lengths, self.batch_size
             ):
+                if tiled:
+                    from ..ops.bitplane import tile_corpus
+
+                    bchars = tile_corpus(
+                        np.asarray(bchars), self.matcher.L_pad
+                    )
                 res = self.matcher(bchars, blens)
                 counters.update(res, blens, n_valid)
                 if self.on_batch is not None:
@@ -217,6 +228,13 @@ class ScanJob:
                 bl[n_valid:] = 0
                 blens = jnp.asarray(bl)
                 bchars = expand(flat, jnp.asarray(bs), blens, self.max_len)
+                if getattr(self.matcher, "input_layout", "bl") == "tiled":
+                    # rows were expanded on-device: tile there too (an
+                    # XLA transpose — correct, but the host-packed path
+                    # above is the one that avoids the transpose cost)
+                    from ..ops.bitplane import tile_corpus_jax
+
+                    bchars = tile_corpus_jax(bchars, self.matcher.L_pad)
                 res = self.matcher(bchars, blens)
                 counters.update(res, bl, n_valid)
                 if self.on_batch is not None:

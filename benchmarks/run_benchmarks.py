@@ -69,7 +69,7 @@ def _throughput(matcher, chars, lengths, iters, with_estimator=False):
     import jax
     import jax.numpy as jnp
 
-    chars_j = jnp.asarray(chars, jnp.uint8)
+    chars_j = jnp.asarray(chars)  # keeps dtype: u8 chars or i32 tiled words
     lengths_j = jnp.asarray(lengths, jnp.int32)
 
     def make(K):
@@ -252,6 +252,46 @@ def bench2(quick):
             _report(
                 "config2_extract_serving",
                 error=f"{type(e).__name__}: {str(e)[:160]}",
+            )
+
+    # Tiled input contract (round 5, docs/ROADMAP.md item 2): identical
+    # witness/match emission from the host-pretiled corpus buffer
+    # (corpus-controlled callers: ScanJob/CLI pack during collation).
+    # The pack kernel reads fully contiguous blocks and masked chars are
+    # assembled in the post kernel, so the [B, L] u8 strided read and
+    # the XLA mask*chars pass both disappear.
+    if backend == "bitplane":
+        try:
+            from halo2_regex_tpu.ops.bitplane import (
+                BitplaneMatcher,
+                tile_corpus,
+            )
+
+            mtw = BitplaneMatcher(
+                model, columns="witness", input_layout="tiled"
+            )
+            tiled = tile_corpus(chars, mtw.L_pad)
+            for name, mkm in (
+                ("config2_tiled_witness", mtw),
+                (
+                    "config2_tiled_match_only",
+                    BitplaneMatcher(
+                        model, columns="match", input_layout="tiled"
+                    ),
+                ),
+            ):
+                dtt, estt = _throughput(
+                    mkm, tiled, lengths, iters=3 if quick else 5,
+                    with_estimator=True,
+                )
+                _report(
+                    name, backend="bitplane", batch=B,
+                    bytes_per_sec=B * 1024 / dtt, estimator=estt,
+                    sec_per_batch=dtt, input_layout="tiled",
+                )
+        except Exception as e:
+            _report(
+                "config2_tiled", error=f"{type(e).__name__}: {str(e)[:160]}"
             )
 
     # Latency regime (round 5, VERDICT r4 #8): the B=4096 serving shapes.

@@ -432,7 +432,14 @@ def bench3(quick):
         try:
             from halo2_regex_tpu.ops.bitplane import BitplaneMatcher
 
-            sm, sbackend = BitplaneMatcher(smodel, columns="witness"), "bitplane"
+            # unroll=4 is the accepted per-construction setting for
+            # big circuits (probe62 E: isolated scan kernel 2.04 ->
+            # 1.40 ms on this model; no effect on small circuits, so
+            # the global default stays 1)
+            sm, sbackend = (
+                BitplaneMatcher(smodel, columns="witness", unroll=4),
+                "bitplane",
+            )
         except Exception:
             pass
     if sm is None:
@@ -445,6 +452,7 @@ def bench3(quick):
         "config3_structured_stress", backend=sbackend, n_live_states=n_live,
         input_len=1024, batch=Bs, bytes_per_sec=Bs * 1024 / sdt,
         sec_per_batch=sdt, estimator=sest,
+        unroll=4 if sbackend == "bitplane" else None,
     )
 
 

@@ -186,7 +186,27 @@ def _cmd_scan(args) -> int:
     # backend (~2.8 B/byte HBM traffic: no witness decode at all);
     # --print-matches needs the full column set for extraction.
     kw = {} if args.print_matches else {"columns": "match"}
-    matcher, _ = best_matcher(model, backend=args.backend, **kw)
+    backend = args.backend
+    if getattr(args, "input_layout", "bl") == "tiled":
+        # tiled is a bitplane-only contract; ScanJob pre-tiles each
+        # batch on the host (ops.bitplane.tile_corpus, C++ packer)
+        if args.print_matches:
+            print(
+                "error: --input-layout tiled supports counting scans "
+                "only (--print-matches needs the full column set)",
+                file=sys.stderr,
+            )
+            return 2
+        if backend not in ("auto", "bitplane"):
+            print(
+                f"error: --input-layout tiled requires the bitplane "
+                f"backend (got --backend {backend})",
+                file=sys.stderr,
+            )
+            return 2
+        backend = "bitplane"
+        kw["input_layout"] = "tiled"
+    matcher, _ = best_matcher(model, backend=backend, **kw)
     from .utils.jobs import ScanJob
 
     def _print_matches(res, chars, lengths, n_valid):
@@ -336,6 +356,11 @@ def main(argv=None) -> int:
                    help="restore each line's \\n terminator (required for "
                         "models whose accept state needs \\r\\n, e.g. the "
                         "email headers)")
+    p.add_argument("--input-layout", default="bl", choices=["bl", "tiled"],
+                   help="'tiled': pack each batch into the pretiled "
+                        "quad-word buffer on the host (C++ packer) so the "
+                        "device skips the strided [B, L] read — counting "
+                        "scans on the bitplane backend only")
     p.set_defaults(fn=_cmd_scan)
 
     p = sub.add_parser("bench", help="throughput measurement")

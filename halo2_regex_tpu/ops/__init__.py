@@ -31,11 +31,19 @@ def best_matcher(model, backend: str = "auto", **kwargs):
             if name == "bitplane":
                 from .bitplane import BitplaneMatcher
 
-                return BitplaneMatcher(model, **kwargs), "bitplane"
+                kw = dict(kwargs)
+                if not on_tpu:
+                    # explicit bitplane request off-TPU: interpret-mode
+                    # kernels (correct, slow) instead of a Mosaic
+                    # lowering failure at first call
+                    kw.setdefault("interpret", True)
+                return BitplaneMatcher(model, **kw), "bitplane"
             if name == "pallas":
                 from .pallas_scan import PallasMatcher
 
                 kw = {k: v for k, v in kwargs.items() if k != "columns"}
+                if not on_tpu:
+                    kw.setdefault("interpret", True)
                 return PallasMatcher(model, **kw), "pallas"
             if name == "xla":
                 return BatchMatcher(model), "xla"

@@ -130,6 +130,39 @@ def test_scanjob_adopts_tiled_matcher(tmp_path):
     assert a.matched == 37
 
 
+def test_cli_scan_tiled(tmp_path, capsys):
+    import json as _json
+
+    from halo2_regex_tpu.cli import main
+
+    cfg = tmp_path / "regex1.json"
+    cfg.write_text(_json.dumps(CONFIGS["regex1"]))
+    model_path = tmp_path / "model.npz"
+    assert main([
+        "compile", str(cfg), "--max-chars-size", "64", "-o", str(model_path)
+    ]) == 0
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_bytes(
+        b"\n".join([b"email was meant for @y.", b"nope"] * 9) + b"\n"
+    )
+    capsys.readouterr()
+    outs = {}
+    for layout in ("bl", "tiled"):
+        rc = main([
+            "scan", "--model", str(model_path), "--batch", "8",
+            "--input-layout", layout, str(corpus),
+        ])
+        assert rc == 0
+        outs[layout] = _json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert outs["bl"]["strings"] == outs["tiled"]["strings"] == 18
+    assert outs["bl"]["matched"] == outs["tiled"]["matched"] == 9
+    # tiled + --print-matches refuses loudly (full columns need [B, L])
+    assert main([
+        "scan", "--model", str(model_path), "--input-layout", "tiled",
+        "--print-matches", str(corpus),
+    ]) == 2
+
+
 def test_tiled_rejects_unsupported_modes():
     model = zoo.email_headers_model(max_chars_size=128, headers=("from",))
     with pytest.raises(ValueError, match="tiled"):

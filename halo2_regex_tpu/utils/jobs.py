@@ -172,6 +172,16 @@ class ScanJob:
         # collation — this is the corpus-controlled caller the tiled
         # contract exists for (docs/ROADMAP.md item 2).
         tiled = getattr(self.matcher, "input_layout", "bl") == "tiled"
+        if tiled and self.batch_size < 32768:
+            import sys
+
+            print(
+                f"warning: tiled input is a throughput-regime contract "
+                f"(B>=32768); batch_size={self.batch_size} underfills "
+                f"the pack grid and measures slower than the standard "
+                f"layout (docs/PERF.md round 5)",
+                file=sys.stderr,
+            )
         for file_idx, end_offset, chars, lengths, trunc in chunks:
             state.n_truncated += trunc
             for bchars, blens, n_valid in batch_iterator(
